@@ -1,0 +1,144 @@
+"""Pseudo-QMF multiband analysis/synthesis for the streamable codec.
+
+TPU-native rebuild of the reference PQMF (/root/reference/after/autoencoder/
+networks/pqmf.py:186).  Filter design happens once on the host with scipy
+(Kaiser-window prototype, cutoff optimised per the classic near-perfect-
+reconstruction objective, https://ieeexplore.ieee.org/document/681427); the
+runtime path is two static jitted convolutions in (B, T, C) layout:
+
+- analysis:  waveform (B, T, 1)  -> bands (B, T/M, M)   via polyphase conv
+- synthesis: bands    (B, T/M, M) -> waveform (B, T, 1)
+
+The polyphase formulation turns a length-L FIR bank into an (L/M)-tap conv
+with M in/out channels — an MXU-friendly dense contraction instead of M
+strided filters.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import fmin
+from scipy.signal import firwin, kaiserord
+
+
+def _kaiser_filter(wc: float, atten: float, N: int = None) -> np.ndarray:
+    """Kaiser-window lowpass prototype at angular cutoff ``wc``."""
+    N_, beta = kaiserord(atten, wc / np.pi)
+    N_ = 2 * (N_ // 2) + 1  # make odd
+    N = N if N is not None else N_
+    return firwin(N, wc, window=("kaiser", beta), scale=False, fs=2 * np.pi)
+
+
+def _alias_objective(wc: float, atten: float, M: int, N: int) -> float:
+    h = _kaiser_filter(wc, atten, N)
+    g = np.convolve(h, h[::-1], "full")
+    g = np.abs(g[g.shape[-1] // 2::2 * M][1:])
+    return float(np.max(g))
+
+
+def design_prototype(attenuation: float, n_band: int, N: int = None) -> np.ndarray:
+    """Optimise the prototype lowpass for minimal aliasing at M bands."""
+    wc = fmin(lambda w: _alias_objective(float(w), attenuation, n_band, N),
+              1.0 / n_band, disp=0)[0]
+    return _kaiser_filter(float(wc), attenuation, N)
+
+
+def qmf_bank(h: np.ndarray, n_band: int) -> np.ndarray:
+    """Cosine-modulate the prototype into an (M, L) analysis bank."""
+    k = np.arange(n_band)[:, None]
+    N = h.shape[-1]
+    t = np.arange(-(N // 2), N // 2 + 1)
+    p = (-1.0) ** k * np.pi / 4
+    mod = np.cos((2 * k + 1) * np.pi / (2 * n_band) * t + p)
+    return 2 * h * mod
+
+
+def _center_pad_next_pow2(hk: np.ndarray) -> np.ndarray:
+    next2 = 2 ** math.ceil(math.log2(hk.shape[-1]))
+    pad = next2 - hk.shape[-1]
+    return np.pad(hk, [(0, 0), (pad // 2, pad // 2 + pad % 2)])
+
+
+class PQMF:
+    """Polyphase PQMF; host-designed filters, jitted TPU analysis/synthesis.
+
+    Sample-alignment matches the reference polyphase implementation
+    (pqmf.py:95-140) so ported codec weights see identical band signals.
+    """
+
+    def __init__(self, attenuation: float = 100, n_band: int = 16):
+        if n_band > 1:
+            power = math.log2(n_band)
+            assert power == math.floor(power), "n_band must be a power of 2"
+        self.n_band = n_band
+        if n_band == 1:
+            self.hk = np.ones((1, 1), dtype=np.float32)
+            self.taps = 1
+            self._ana_kernel = None
+            self._syn_kernel = None
+            return
+        h = design_prototype(attenuation, n_band)
+        hk = _center_pad_next_pow2(qmf_bank(h, n_band)).astype(np.float32)
+        self.hk = hk                         # (M, L), L = pow2
+        M, L = hk.shape
+        self.taps = L // M
+        # Analysis polyphase kernel.  Reference: hk 'c (t m) -> c m t' then
+        # torch conv (out=M, in=M, K).  Our WIO layout: (K, in=M, out=M).
+        ana = hk.reshape(M, L // M, M)       # (band, tap, phase)
+        self._ana_kernel = jnp.asarray(np.transpose(ana, (1, 2, 0)))  # (K, M_in=phase, M_out=band)
+        # Synthesis kernel.  Reference: flip taps, 'c (t m) -> m c t'
+        # -> torch conv (out=M=phase, in=M=band, K).
+        hki = hk[:, ::-1].reshape(M, L // M, M)   # (band, tap, phase)
+        syn = np.transpose(hki, (1, 0, 2))        # (K, in=band, out=phase)
+        self._syn_kernel = jnp.asarray(syn)
+
+        # sign mask applied after analysis / before synthesis
+        # (reference reverse_half, pqmf.py:16: bands odd, time even -> -1)
+        mask = np.ones((2, M), dtype=np.float32)  # (time parity, band)
+        mask[0, 1::2] = -1.0
+        self._mask2 = jnp.asarray(mask)
+
+    def _apply_mask(self, x: jnp.ndarray) -> jnp.ndarray:
+        T = x.shape[1]
+        reps = (T + 1) // 2
+        m = jnp.tile(self._mask2, (reps, 1))[:T]
+        return x * m[None]
+
+    @partial(jax.jit, static_argnums=0)
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, 1) waveform -> (B, T/M, M) band signals."""
+        if self.n_band == 1:
+            return x
+        B, T, _ = x.shape
+        M, K = self.n_band, self.taps
+        xp = x.reshape(B, T // M, M)                # phase components
+        p = K // 2
+        y = jax.lax.conv_general_dilated(
+            xp, self._ana_kernel, window_strides=(1,),
+            padding=[(p, p)], dimension_numbers=("NWC", "WIO", "NWC"))
+        y = y[:, :-1]                                # reference drops last frame
+        return self._apply_mask(y)
+
+    @partial(jax.jit, static_argnums=0)
+    def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T/M, M) band signals -> (B, T, 1) waveform."""
+        if self.n_band == 1:
+            return x
+        B, Tm, M = x.shape
+        K = self.taps
+        x = self._apply_mask(x)
+        pad = K // 2 + 1
+        y = jax.lax.conv_general_dilated(
+            x, self._syn_kernel, window_strides=(1,),
+            padding=[(pad, pad)], dimension_numbers=("NWC", "WIO", "NWC"))
+        y = y[:, :-1] * M
+        y = y[:, :, ::-1]                            # band flip (reference x.flip(1))
+        wav = y.reshape(B, -1, 1)                    # interleave phases
+        wav = wav[:, 2 * M:]                         # reference trims 2*M samples
+        return wav

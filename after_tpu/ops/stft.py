@@ -1,0 +1,179 @@
+"""Spectral ops: STFT, mel filterbanks, A-weighting — JAX replacements for the
+torchaudio/auraloss machinery used by the reference losses
+(/root/reference/after/autoencoder/core.py:78-145, 335-443, 508-813).
+
+All transforms are static-shape jnp functions built from host-designed
+constants (windows, filterbanks, FIR taps), so they fuse under jit.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+
+@lru_cache(maxsize=64)
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann, matching torch.hann_window."""
+    n = np.arange(win_length)
+    return (0.5 * (1 - np.cos(2 * np.pi * n / win_length))).astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, frame_length) via strided gather."""
+    T = x.shape[-1]
+    n_frames = 1 + (T - frame_length) // hop
+    idx = np.arange(frame_length)[None, :] + hop * np.arange(n_frames)[:, None]
+    return x[..., idx]
+
+
+def stft(x: jnp.ndarray, n_fft: int, hop: int, win_length: Optional[int] = None,
+         window: Optional[np.ndarray] = None, center: bool = True,
+         pad_mode: str = "reflect") -> jnp.ndarray:
+    """Complex STFT of (..., T) -> (..., n_frames, n_fft//2+1).
+
+    Matches torch.stft conventions (center=True reflect padding; window
+    zero-padded to n_fft when win_length < n_fft).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop)
+    frames = frames * jnp.asarray(window)
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def spectrogram(x: jnp.ndarray, n_fft: int, hop: int,
+                win_length: Optional[int] = None, power: Optional[float] = 1.0,
+                normalized: bool = False, center: bool = True,
+                eps: float = 0.0) -> jnp.ndarray:
+    """Magnitude (power=1) / power (power=2) / complex (power=None) spectrogram.
+
+    `normalized=True` divides by the window L2 norm (torchaudio convention,
+    used by the Encodec discriminator, encodec_discriminator.py:110-118).
+    """
+    win_length = win_length or n_fft
+    window = hann_window(win_length)
+    z = stft(x, n_fft, hop, win_length, window, center=center)
+    if normalized:
+        z = z / np.linalg.norm(window)
+    if power is None:
+        return z
+    mag2 = jnp.real(z) ** 2 + jnp.imag(z) ** 2
+    if eps:
+        mag2 = jnp.maximum(mag2, eps)
+    if power == 2.0:
+        return mag2
+    return jnp.sqrt(mag2) if power == 1.0 else mag2 ** (power / 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbanks (both HTK/torchaudio and Slaney/librosa conventions)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f, htk: bool):
+    f = np.asarray(f, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # Slaney
+    f_min, f_sp = 0.0, 200.0 / 3
+    mel = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz,
+                    min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+                    mel)
+
+
+def _mel_to_hz(m, htk: bool):
+    m = np.asarray(m, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel,
+                    min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@lru_cache(maxsize=64)
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+                   fmax: Optional[float] = None, htk: bool = True,
+                   slaney_norm: bool = False) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filterbank."""
+    fmax = fmax or sr / 2
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_pts = np.linspace(_hz_to_mel(fmin, htk), _hz_to_mel(fmax, htk), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts, htk)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lower, center, upper = hz_pts[i], hz_pts[i + 1], hz_pts[i + 2]
+        up = (fft_freqs - lower) / max(center - lower, 1e-10)
+        down = (upper - fft_freqs) / max(upper - center, 1e-10)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    if slaney_norm:
+        enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+        fb *= enorm[:, None]
+    return fb.astype(np.float32)
+
+
+def mel_spectrogram(x: jnp.ndarray, sr: int, n_fft: int, hop: int,
+                    n_mels: int, power: float = 1.0, normalized: bool = True,
+                    center: bool = False) -> jnp.ndarray:
+    """torchaudio-convention mel spectrogram of (..., T)."""
+    spec = spectrogram(x, n_fft, hop, power=power, normalized=normalized,
+                       center=center)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, htk=True))
+    return jnp.einsum("...tf,mf->...tm", spec, fb)
+
+
+# ---------------------------------------------------------------------------
+# A-weighting FIR (perceptual prefilter for the MR-STFT loss)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def a_weighting_fir(fs: int = 44100, ntaps: int = 101) -> np.ndarray:
+    """Least-squares FIR fit of the IEC-1672 analog A-weighting curve.
+
+    Same design as the reference FIRFilter('aw') (core.py:390-423):
+    analog prototype -> bilinear transform -> freq response -> firls fit.
+    """
+    f1, f2, f3, f4 = 20.598997, 107.65265, 737.86223, 12194.217
+    A1000 = 1.9997
+    NUMs = [(2 * np.pi * f4) ** 2 * (10 ** (A1000 / 20)), 0, 0, 0, 0]
+    DENs = np.polymul([1, 4 * np.pi * f4, (2 * np.pi * f4) ** 2],
+                      [1, 4 * np.pi * f1, (2 * np.pi * f1) ** 2])
+    DENs = np.polymul(np.polymul(DENs, [1, 2 * np.pi * f3]),
+                      [1, 2 * np.pi * f2])
+    b, a = scipy.signal.bilinear(NUMs, DENs, fs=fs)
+    w_iir, h_iir = scipy.signal.freqz(b, a, worN=512, fs=fs)
+    taps = scipy.signal.firls(ntaps, w_iir, abs(h_iir), fs=fs)
+    return taps.astype(np.float32)
+
+
+def fir_prefilter(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Apply a symmetric FIR to (..., T) with same-length output."""
+    k = jnp.asarray(taps)[:, None, None]          # (K, 1, 1) WIO
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1], 1)
+    pad = len(taps) // 2
+    y = jax.lax.conv_general_dilated(
+        x2, k, window_strides=(1,), padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y.reshape(orig_shape)

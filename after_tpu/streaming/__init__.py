@@ -1,0 +1,1 @@
+from .state import init_stream_state, zero_cache
