@@ -1,0 +1,266 @@
+"""Streamable multiband audio codec — TPU rebuild of the RAVE-style AutoEncoder.
+
+Reference: /root/reference/after/autoencoder/networks/SimpleNetsStream.py:832
+(AutoEncoder / Encoder1d / Decoder1d / DownsampleBlock1d / UpsampleBlock1d /
+ResnetBlock1d / ConvBlock1d / bottlenecks / NoiseGenerator).
+
+Pipeline: waveform (B, T, 1) --PQMF--> bands (B, T/M, M) --conv encoder-->
+latents (B, T/ratio, z) --bottleneck--> z --conv decoder--> bands --inverse
+PQMF--> waveform.  All convs honour the `causal` config for streaming export;
+delay bookkeeping is static metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import AutoEncoderConfig
+from ..ops.conv import StreamConv1d, StreamConvTranspose1d
+from ..ops.pqmf import get_pqmf
+from ..ops.snake import SnakeBeta
+
+
+class ConvBlock1d(nn.Module):
+    """[GroupNorm] -> SnakeBeta -> weight-normed conv (SimpleNetsStream.py:150)."""
+
+    out_c: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    num_groups: int = 8
+    use_norm: bool = True
+    mode: str = "centered"
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_c = x.shape[-1]
+        h = x
+        if self.use_norm:
+            h = nn.GroupNorm(num_groups=min(in_c, self.num_groups),
+                             name="gn")(h)
+        h = SnakeBeta(in_c, name="act")(h)
+        h = StreamConv1d(self.out_c, self.kernel_size, stride=self.stride,
+                         dilation=self.dilation, mode=self.mode,
+                         streaming=self.streaming, name="conv")(h)
+        return h
+
+
+class ResnetBlock1d(nn.Module):
+    """conv(k,d) -> conv(1); residual through 1x1 if channels change
+    (SimpleNetsStream.py:197)."""
+
+    out_c: int
+    kernel_size: int = 3
+    dilation: int = 1
+    num_groups: int = 8
+    use_norm: bool = True
+    use_res: bool = True
+    mode: str = "centered"
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_c = x.shape[-1]
+        h = ConvBlock1d(self.out_c, self.kernel_size, 1, self.dilation,
+                        self.num_groups, self.use_norm, self.mode,
+                        self.streaming, name="block1")(x)
+        h = ConvBlock1d(self.out_c, 1, 1, 1, self.num_groups, self.use_norm,
+                        self.mode, self.streaming, name="block2")(h)
+        if not self.use_res:
+            return h
+        res = x
+        if in_c != self.out_c:
+            res = StreamConv1d(self.out_c, 1, mode="valid",
+                               name="to_out")(res)
+        return h + res
+
+
+class DownsampleBlock1d(nn.Module):
+    """N resnet blocks -> activation -> strided downsample conv
+    (SimpleNetsStream.py:301)."""
+
+    out_c: int
+    factor: int
+    num_layers: int
+    dilations: Sequence[int]
+    kernel_size: int
+    num_groups: int
+    use_norm: bool
+    mode: str
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_c = x.shape[-1]
+        h = x
+        for i in range(self.num_layers):
+            h = ResnetBlock1d(in_c, self.kernel_size, self.dilations[i],
+                              self.num_groups, self.use_norm, True, self.mode,
+                              self.streaming, name=f"res_{i}")(h)
+        h = SnakeBeta(in_c, name="act")(h)
+        h = StreamConv1d(self.out_c, 2 * self.factor, stride=self.factor,
+                         mode=self.mode, streaming=self.streaming,
+                         name="down")(h)
+        return h
+
+
+class UpsampleBlock1d(nn.Module):
+    """activation -> transpose-conv upsample -> N resnet blocks
+    (SimpleNetsStream.py:344)."""
+
+    out_c: int
+    factor: int
+    num_layers: int
+    dilations: Sequence[int]
+    kernel_size: int
+    num_groups: int
+    use_norm: bool
+    mode: str
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_c = x.shape[-1]
+        h = SnakeBeta(in_c, name="act")(x)
+        h = StreamConvTranspose1d(self.out_c, 2 * self.factor, self.factor,
+                                  streaming=self.streaming, name="up")(h)
+        for i in range(self.num_layers):
+            h = ResnetBlock1d(self.out_c, self.kernel_size, self.dilations[i],
+                              self.num_groups, self.use_norm, True, self.mode,
+                              self.streaming, name=f"res_{i}")(h)
+        return h
+
+
+class CodecEncoder(nn.Module):
+    """Band signals (B, Tb, M) -> latents (B, Tb/prod(factors), z)."""
+
+    cfg: AutoEncoderConfig
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, xb):
+        cfg = self.cfg
+        mode = "causal" if cfg.causal else "centered"
+        ch = cfg.base_channels
+        num_blocks = cfg.num_blocks_per_stage
+        out_channels = cfg.z_channels * (2 if cfg.bottleneck == "vae" else 1)
+
+        h = ResnetBlock1d(ch * cfg.multipliers[0], cfg.kernel_size, 1,
+                          cfg.resnet_groups, cfg.use_norm, True, mode,
+                          self.streaming, name="to_in")(xb)
+        for i, f in enumerate(cfg.factors):
+            h = DownsampleBlock1d(ch * cfg.multipliers[i + 1], f, num_blocks,
+                                  cfg.dilations, cfg.kernel_size,
+                                  cfg.resnet_groups, cfg.use_norm, mode,
+                                  self.streaming, name=f"down_{i}")(h)
+        h = SnakeBeta(ch * cfg.multipliers[-1], name="act")(h)
+        h = StreamConv1d(out_channels, 3, mode=mode, streaming=self.streaming,
+                         name="to_out")(h)
+        return h
+
+
+class CodecDecoder(nn.Module):
+    """Latents (B, Tl, z) -> band signals (B, Tl*prod(factors), M)."""
+
+    cfg: AutoEncoderConfig
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.cfg
+        mode = "causal" if cfg.causal else "centered"
+        ch = cfg.base_channels
+        mults = [int(m * cfg.decoder_ratio) for m in cfg.multipliers[::-1]]
+        factors = cfg.factors[::-1]
+        num_blocks = cfg.num_blocks_per_stage
+        out_c = cfg.pqmf_bands if cfg.pqmf_bands > 1 else 1
+
+        h = StreamConv1d(ch * mults[0], cfg.kernel_size, mode=mode,
+                         streaming=self.streaming, name="to_in")(z)
+        for i, f in enumerate(factors):
+            h = UpsampleBlock1d(ch * mults[i + 1], f, num_blocks,
+                                cfg.dilations, cfg.kernel_size,
+                                cfg.resnet_groups, cfg.use_norm, mode,
+                                self.streaming, name=f"up_{i}")(h)
+
+        to_out_c = out_c * 2 if cfg.use_loudness else out_c
+        h = ResnetBlock1d(to_out_c, cfg.kernel_size, 1, cfg.resnet_groups,
+                          cfg.use_norm, False, mode, self.streaming,
+                          name="to_out")(h)
+
+        if cfg.use_loudness:
+            y, amp = jnp.split(h, 2, axis=-1)
+            h = y * nn.sigmoid(amp)
+        return h
+
+
+def relu_bottleneck_reg(z: jnp.ndarray, scale: float = 3.0) -> jnp.ndarray:
+    """SimpleLatentReg: ELU(|z| - scale).mean() + 1 (core.py:189-198)."""
+    return jnp.mean(nn.elu(jnp.abs(z) - scale)) + 1.0
+
+
+class AudioCodec(nn.Module):
+    """Full codec with PQMF wrap and bottleneck.
+
+    encode: (B, T, 1) waveform -> (B, T/ratio, z) latents (+ reg loss)
+    decode: latents -> (B, T, 1) waveform
+    """
+
+    cfg: AutoEncoderConfig
+    streaming: bool = False
+
+    def setup(self):
+        self.pqmf = get_pqmf(self.cfg.pqmf_attenuation, self.cfg.pqmf_bands)
+        self.encoder = CodecEncoder(self.cfg, self.streaming)
+        self.decoder = CodecDecoder(self.cfg, self.streaming)
+
+    def bottleneck(self, z, rng: Optional[jax.Array] = None,
+                   apply_noise: bool = False):
+        cfg = self.cfg
+        if cfg.bottleneck == "relu":
+            reg = relu_bottleneck_reg(z, cfg.bottleneck_scale)
+            if apply_noise and rng is not None:
+                z = z + cfg.bottleneck_sigma * jax.random.normal(rng, z.shape)
+            return z, reg
+        elif cfg.bottleneck == "tanh":
+            z = cfg.bottleneck_scale * jnp.tanh(z)
+            if apply_noise and rng is not None:
+                z = z + cfg.bottleneck_sigma * jax.random.normal(rng, z.shape)
+            return z, jnp.asarray(0.0)
+        elif cfg.bottleneck == "vae":
+            mean, scale = jnp.split(z, 2, axis=-1)
+            std = jax.nn.softplus(scale) + 1e-2
+            var = std * std
+            if rng is not None:
+                z = mean + std * jax.random.normal(rng, mean.shape)
+            else:
+                z = mean
+            kl = jnp.mean(jnp.sum(mean * mean + var - jnp.log(var) - 1, -1))
+            return z, kl
+        return z, jnp.asarray(0.0)
+
+    def encode(self, x, rng: Optional[jax.Array] = None):
+        xb = self.pqmf.forward(x) if self.cfg.pqmf_bands > 1 else x
+        z = self.encoder(xb)
+        z, reg = self.bottleneck(z, rng)
+        return z
+
+    def decode(self, z):
+        yb = self.decoder(z)
+        y = self.pqmf.inverse(yb) if self.cfg.pqmf_bands > 1 else yb
+        return y
+
+    def __call__(self, x, rng: Optional[jax.Array] = None):
+        """Training forward: returns (y, y_bands, z, reg, x_bands)
+        mirroring return_all=True (SimpleNetsStream.py:899-916)."""
+        xb = self.pqmf.forward(x) if self.cfg.pqmf_bands > 1 else x
+        z = self.encoder(xb)
+        z, reg = self.bottleneck(z, rng, apply_noise=rng is not None)
+        yb = self.decoder(z)
+        y = self.pqmf.inverse(yb) if self.cfg.pqmf_bands > 1 else yb
+        return y, yb, z, reg, xb

@@ -17,7 +17,7 @@ strided filters.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -42,9 +42,11 @@ def _alias_objective(wc: float, atten: float, M: int, N: int) -> float:
     return float(np.max(g))
 
 
+@lru_cache(maxsize=16)
 def design_prototype(attenuation: float, n_band: int, N: int = None) -> np.ndarray:
     """Optimise the prototype lowpass for minimal aliasing at M bands."""
-    wc = fmin(lambda w: _alias_objective(float(w), attenuation, n_band, N),
+    wc = fmin(lambda w: _alias_objective(float(np.asarray(w).ravel()[0]),
+                                        attenuation, n_band, N),
               1.0 / n_band, disp=0)[0]
     return _kaiser_filter(float(wc), attenuation, N)
 
@@ -142,3 +144,9 @@ class PQMF:
         wav = y.reshape(B, -1, 1)                    # interleave phases
         wav = wav[:, 2 * M:]                         # reference trims 2*M samples
         return wav
+
+
+@lru_cache(maxsize=8)
+def get_pqmf(attenuation: float = 100, n_band: int = 16) -> PQMF:
+    """Cached PQMF instances (filter design runs scipy.optimize once)."""
+    return PQMF(attenuation, n_band)

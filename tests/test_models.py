@@ -1,0 +1,137 @@
+"""Model-level shape/jit smoke tests plus streaming equivalence for the
+denoiser KV cache."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from after_tpu.config import (AutoEncoderConfig, DenoiserConfig, ECAPAConfig,
+                              Encoder1DConfig, get_config)
+from after_tpu.models import (AudioCodec, Denoiser, ECAPAEncoder, Encoder1D)
+from after_tpu.streaming import init_stream_state
+
+SMALL_DN = DenoiserConfig(n_channels=8, seq_len=32, embed_dim=128,
+                          cond_dim=6, tcond_dim=12, n_layers=2,
+                          noise_embed_dims=32, mlp_multiplier=2)
+
+
+def test_denoiser_shapes():
+    dn = Denoiser(SMALL_DN)
+    x = jnp.zeros((2, 32, 8))
+    t = jnp.full((2,), 0.3)
+    cond = jnp.zeros((2, 6))
+    tcond = jnp.zeros((2, 32, 12))
+    params = dn.init(jax.random.PRNGKey(0), x, t, cond, tcond)
+    y = jax.jit(lambda p, *a: dn.apply(p, *a))(params, x, t, cond, tcond)
+    assert y.shape == x.shape
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    assert n_params > 100_000
+
+
+def test_denoiser_streaming_equals_offline():
+    """Chunked streaming denoiser (KV cache) == offline chunk-causal forward.
+
+    This is the central streaming-correctness property the reference never
+    verifies (SURVEY §4): with window w and chunk c, the streamed outputs
+    must match the offline masked forward exactly from frame 0 (our cache
+    `filled` masking makes warm-up exact too).
+    """
+    cfg = SMALL_DN
+    dn = Denoiser(cfg)
+    sdn = Denoiser(cfg, streaming=True)
+    B, T, C = 1, 32, cfg.n_channels
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C))
+    t = jnp.full((B,), 0.4)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.cond_dim))
+    tcond = jax.random.normal(jax.random.PRNGKey(2), (B, T, cfg.tcond_dim))
+
+    variables = dn.init(jax.random.PRNGKey(3), x, t, cond, tcond)
+    y_off = dn.apply(variables, x, t, cond, tcond)
+
+    chunk = cfg.attention_chunk_size
+    cache = init_stream_state(sdn, x[:, :chunk], t, cond, tcond[:, :chunk])
+    outs = []
+    for i in range(0, T, chunk):
+        y, aux = sdn.apply(
+            {"params": variables["params"], "cache": cache},
+            x[:, i:i + chunk], t, cond, tcond[:, i:i + chunk],
+            cache_index=0, mutable=["cache"])
+        cache = aux["cache"]
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_off),
+                               atol=2e-4)
+
+
+def test_denoiser_per_step_caches_are_independent():
+    """Writes at cache_index i must not disturb cache_index j."""
+    cfg = SMALL_DN
+    sdn = Denoiser(cfg, streaming=True)
+    B, C = 1, cfg.n_channels
+    chunk = cfg.attention_chunk_size
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, chunk, C))
+    t = jnp.full((B,), 0.5)
+    cond = jnp.zeros((B, cfg.cond_dim))
+    tcond = jnp.zeros((B, chunk, cfg.tcond_dim))
+    variables = sdn.init(jax.random.PRNGKey(1), x, t, cond, tcond)
+    cache0 = init_stream_state(sdn, x, t, cond, tcond)
+
+    y0, aux = sdn.apply({"params": variables["params"], "cache": cache0},
+                        x, t, cond, tcond, cache_index=0, mutable=["cache"])
+    cache1 = aux["cache"]
+    # step-1 slot untouched
+    k0 = cache0["block_0"]["attn"]["k"]
+    k1 = cache1["block_0"]["attn"]["k"]
+    assert not np.allclose(np.asarray(k0[:, 0]), np.asarray(k1[:, 0]))
+    np.testing.assert_array_equal(np.asarray(k0[:, 1]), np.asarray(k1[:, 1]))
+
+
+def test_encoder1d_shapes_and_reg():
+    cfg = Encoder1DConfig(in_size=8, channels=(16, 16, 12), ratios=(1, 1))
+    enc = Encoder1D(cfg)
+    x = jnp.zeros((2, 32, 8))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    (z, mean, kl), _ = enc.apply(variables, x, mutable=["batch_stats"])
+    assert z.shape == (2, 32, 12)
+    assert kl.shape == ()
+
+
+def test_encoder1d_classifier_averages():
+    cfg = Encoder1DConfig(in_size=12, channels=(16, 16, 16, 16, 6),
+                          ratios=(1, 2, 2, 2, 1), average_out=True,
+                          ac_regularisation=False)
+    enc = Encoder1D(cfg)
+    x = jnp.zeros((2, 32, 12))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    (z, _, _), _ = enc.apply(variables, x, mutable=["batch_stats"])
+    assert z.shape == (2, 6)
+
+
+def test_ecapa_shapes():
+    cfg = ECAPAConfig(in_size=8, out_dim=6, channels=(32, 32, 32, 64))
+    enc = ECAPAEncoder(cfg)
+    x = jnp.zeros((2, 64, 8))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    (z, mean, kl), _ = enc.apply(variables, x, mutable=["batch_stats"])
+    assert z.shape == (2, 6)
+
+
+def test_codec_roundtrip_shapes():
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1)
+    codec = AudioCodec(cfg)
+    T = 4 * 4 * 64  # bands * factors * frames
+    x = jnp.zeros((1, T, 1))
+    variables = codec.init(jax.random.PRNGKey(0), x)
+    y, yb, z, reg, xb = codec.apply(variables, x)
+    assert z.shape == (1, T // cfg.ratio, 8)
+    assert y.shape[2] == 1
+    assert abs(y.shape[1] - T) < cfg.ratio  # PQMF trims a constant offset
+    ze = codec.apply(variables, x, method=AudioCodec.encode)
+    assert ze.shape == z.shape
+    yd = codec.apply(variables, z, method=AudioCodec.decode)
+    assert yd.shape == y.shape
