@@ -1,0 +1,165 @@
+"""Codec GAN trainer: alternating generator / discriminator jitted steps.
+
+Reference: /root/reference/after/autoencoder/trainer.py (Trainer).  Structure:
+- generator step: MR-STFT reconstruction (weight-decayed after warmup,
+  trainer.py:146-151) + bottleneck regularisation (warmup-ramped) + feature
+  matching / adversarial terms once the GAN warmup has elapsed;
+- discriminator step every `update_discriminator_every` steps after warmup
+  (trainer.py:157-177), hinge loss;
+- AdamW (0.9, 0.999) for the codec, (0.8, 0.9) for the discriminator, both
+  with exponential lr decay gamma 0.999996 (trainer.py:119-134) and grad clip
+  2.0.
+
+The reference's Python branching on (warmup, step % k) becomes host-side
+selection between two jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import AETrainConfig, AutoEncoderConfig, DiscriminatorConfig
+from ..models.autoencoder import AudioCodec
+from ..models.discriminator import EncodecDiscriminator
+from .losses import multi_resolution_stft_loss
+
+
+@dataclasses.dataclass
+class AETrainState:
+    codec_vars: Any
+    disc_vars: Any
+    opt_state: Any
+    disc_opt_state: Any
+    step: int
+
+
+class AutoencoderTrainer:
+
+    def __init__(self, ae_cfg: AutoEncoderConfig,
+                 train_cfg: Optional[AETrainConfig] = None,
+                 disc_cfg: Optional[DiscriminatorConfig] = None):
+        self.cfg = ae_cfg
+        self.tc = train_cfg or AETrainConfig()
+        self.dcfg = disc_cfg or DiscriminatorConfig()
+        self.codec = AudioCodec(ae_cfg)
+        self.disc = EncodecDiscriminator(self.dcfg)
+
+        lr = optax.exponential_decay(self.tc.lr, 1, self.tc.lr_decay)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(self.tc.grad_clip),
+            optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=0.01))
+        self.disc_optimizer = optax.chain(
+            optax.clip_by_global_norm(self.tc.grad_clip_disc),
+            optax.adamw(lr, b1=0.8, b2=0.9, weight_decay=0.01))
+
+    def init(self, rng: jax.Array, batch_size: int = 1) -> AETrainState:
+        k1, k2 = jax.random.split(rng)
+        x = jnp.zeros((batch_size, self.tc.num_signal, 1))
+        codec_vars = self.codec.init(k1, x)
+        disc_vars = self.disc.init(k2, x[:, :8192], x[:, :8192])
+        return AETrainState(
+            codec_vars, disc_vars,
+            self.optimizer.init(codec_vars["params"]),
+            self.disc_optimizer.init(disc_vars["params"]), 0)
+
+    # ------------------------------------------------------------------
+
+    def _recon_weights(self, step: int):
+        tc = self.tc
+        w_wave = (1.0 if step < tc.warmup_steps
+                  else tc.rec_loss_decay ** (step - tc.warmup_steps))
+        w_reg = (min(step / tc.warmup_regularisation_loss, 1.0)
+                 * tc.weight_regularisation_loss)
+        return w_wave, w_reg
+
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
+    def gen_step(self, state_tuple, x, rng, use_gan: bool, w_wave, w_reg):
+        codec_vars, disc_vars, opt_state = state_tuple
+
+        def loss_fn(params):
+            cv = {**codec_vars, "params": params}
+            y, yb, z, regloss, xb = self.codec.apply(cv, x, rng=rng)
+            n = min(x.shape[1], y.shape[1])
+            xa, ya = x[:, :n], y[:, :n]
+            mrstft = multi_resolution_stft_loss(xa, ya, self.tc, self.cfg.sr)
+            loss = w_wave * mrstft + w_reg * regloss
+            metrics = {"mrstft": mrstft, "regularisation_loss": regloss}
+            if use_gan:
+                loss_gen, _, dmetrics = self.disc.apply(disc_vars, xa, ya)
+                loss = loss + loss_gen
+                metrics.update({k: v for k, v in dmetrics.items()
+                                if k in ("feature_matching", "adversarial")})
+            metrics["total_loss"] = loss
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            codec_vars["params"])
+        updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                   codec_vars["params"])
+        params = optax.apply_updates(codec_vars["params"], updates)
+        codec_vars = {**codec_vars, "params": params}
+        return (codec_vars, disc_vars, opt_state), metrics
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+    def disc_step(self, state_tuple, x, rng):
+        codec_vars, disc_vars, disc_opt_state = state_tuple
+        y, *_ = self.codec.apply(codec_vars, x, rng=rng)
+        y = jax.lax.stop_gradient(y)
+        n = min(x.shape[1], y.shape[1])
+        xa, ya = x[:, :n], y[:, :n]
+
+        def loss_fn(dparams):
+            dv = {**disc_vars, "params": dparams}
+            _, loss_dis, metrics = self.disc.apply(dv, xa, ya)
+            return loss_dis, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            disc_vars["params"])
+        updates, disc_opt_state = self.disc_optimizer.update(
+            grads, disc_opt_state, disc_vars["params"])
+        dparams = optax.apply_updates(disc_vars["params"], updates)
+        disc_vars = {**disc_vars, "params": dparams}
+        return (codec_vars, disc_vars, disc_opt_state), metrics
+
+    # ------------------------------------------------------------------
+
+    def fit(self, state: AETrainState, batches: Iterator, max_steps=None,
+            callback=None, rng: Optional[jax.Array] = None) -> AETrainState:
+        """batches yield (B, num_signal, 1) waveform arrays."""
+        tc = self.tc
+        max_steps = max_steps if max_steps is not None else tc.max_steps
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        for x in batches:
+            if state.step >= max_steps:
+                break
+            step = state.step
+            rng, krng = jax.random.split(rng)
+            x = jnp.asarray(x)
+            warm = step > tc.warmup_steps
+
+            if warm and step % tc.update_discriminator_every == 0:
+                (cv, dv, dopt), metrics = self.disc_step(
+                    (state.codec_vars, state.disc_vars,
+                     state.disc_opt_state), x, krng)
+                state = dataclasses.replace(
+                    state, codec_vars=cv, disc_vars=dv, disc_opt_state=dopt,
+                    step=step + 1)
+            else:
+                w_wave, w_reg = self._recon_weights(step)
+                (cv, dv, opt), metrics = self.gen_step(
+                    (state.codec_vars, state.disc_vars, state.opt_state),
+                    x, krng, warm, w_wave, w_reg)
+                state = dataclasses.replace(
+                    state, codec_vars=cv, disc_vars=dv, opt_state=opt,
+                    step=step + 1)
+
+            if callback is not None:
+                callback(state, {k: float(v) for k, v in metrics.items()})
+        return state

@@ -1,0 +1,76 @@
+"""Batch collation for diffusion training.
+
+Reference: /root/reference/after/diffusion/utils.py:45-108 (collate_fn):
+random latent crops for target/timbre streams, optional pitch/stretch
+augmented timbre copies, `timbre_limit` windowing, MIDI piano-roll structure.
+Pure numpy on the host; output arrays feed the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .midi import MidiFile
+
+
+def make_collate_fn(n_signal: int, structure_type: str = "audio",
+                    ae_ratio: int = 2048, sr: int = 44100,
+                    timbre_limit: Optional[float] = None,
+                    timbre_augmentation_keys: Sequence[str] = (),
+                    seed: int = 0):
+    rng = np.random.RandomState(seed)
+
+    def collate(batch: List[Dict]) -> Dict[str, np.ndarray]:
+        # latents stored as (C, T) in records (reference layout); we train in
+        # (B, T, C)
+        zs = [np.asarray(b["z"], dtype=np.float32) for b in batch]
+        B = len(zs)
+        total = zs[0].shape[-1]
+        i0 = rng.randint(0, max(total - n_signal, 1), B)
+        x = np.stack([z[..., i: i + n_signal] for z, i in zip(zs, i0)])
+
+        if timbre_augmentation_keys:
+            x_timbre = []
+            which = rng.randint(0, len(timbre_augmentation_keys), B)
+            for bi in range(B):
+                key = timbre_augmentation_keys[which[bi]]
+                zt = np.asarray(batch[bi].get(key, zs[bi]), dtype=np.float32)
+                if zt.shape[-1] < n_signal + 1:
+                    zt = zs[bi]
+                i1 = rng.randint(0, zt.shape[-1] - n_signal)
+                x_timbre.append(zt[..., i1:i1 + n_signal])
+            x_timbre = np.stack(x_timbre)
+        else:
+            if timbre_limit is None:
+                i1 = rng.randint(0, max(total - n_signal, 1), B)
+            else:
+                nmax = int(n_signal * timbre_limit)
+                d = rng.randint(-nmax, nmax, B)
+                i1 = np.clip(i0 + d, 0, total - n_signal)
+            x_timbre = np.stack([z[..., i: i + n_signal]
+                                 for z, i in zip(zs, i1)])
+
+        if structure_type == "midi":
+            times = np.linspace(0, total * ae_ratio / sr, total)
+            rolls = []
+            for bi, b in enumerate(batch):
+                midi = b["midi"]
+                if isinstance(midi, (bytes, bytearray)):
+                    import io, pickle
+                    midi = pickle.loads(midi)
+                roll = midi.get_piano_roll(times=times) / 127.0
+                rolls.append(roll[..., i0[bi]:i0[bi] + n_signal])
+            time_cond = np.stack(rolls).astype(np.float32)
+        else:
+            time_cond = x
+
+        # (B, C, T) -> (B, T, C)
+        def btc(a):
+            return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+
+        return {"x": btc(x), "x_cond": btc(x_timbre),
+                "x_time_cond": btc(time_cond)}
+
+    return collate

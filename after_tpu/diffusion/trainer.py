@@ -1,0 +1,406 @@
+"""Diffusion trainer: two-phase curriculum, adversarial disentanglement,
+cycle consistency, CFG dropout, EMA — as a small set of jit-compiled
+train-step variants selected by the host step counter.
+
+Reference: /root/reference/after/diffusion/model.py:179-567 (Base.fit).  The
+reference's Python-level branching (phase 1 vs 2, classifier-vs-diffusion
+step, encoder freezing) becomes *static* jit variants — each phase compiles
+once; inside a step there is no data-dependent control flow.
+
+Deviations from the reference, on purpose:
+- gradient clipping is applied to the whole trainable tree (the reference
+  clips only net parameters, model.py:437);
+- frozen sub-networks get their updates masked to exactly zero (the reference
+  relies on requires_grad=False; torch skips them entirely — same effect).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import AfterConfig
+from .rectified_flow import RectifiedFlow
+
+
+def tree_zeros_like_mask(tree, keep: Dict[str, bool]):
+    """Zero out top-level subtrees whose `keep[name]` is False."""
+    return {k: (v if keep.get(k, False)
+                else jax.tree_util.tree_map(jnp.zeros_like, v))
+            for k, v in tree.items()}
+
+
+def shuffle_time_chunks(rng: jax.Array, x: jnp.ndarray,
+                        sizes: Tuple[int, ...]) -> jnp.ndarray:
+    """Per-sample random permutation of time chunks (model.py:288-298).
+
+    Each sample picks a chunk size from `sizes` and shuffles its time axis in
+    chunks of that size.  Static-shape version: compute every size variant,
+    then select per sample.
+    """
+    B, T, C = x.shape
+    k_choice, *k_perms = jax.random.split(rng, len(sizes) + 1)
+    variants = []
+    for s, kp in zip(sizes, k_perms):
+        nch = T // s
+        xr = x[:, :nch * s].reshape(B, nch, s, C)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, nch))(
+            jax.random.split(kp, B))
+        shuffled = jax.vmap(lambda xi, p: xi[p])(xr, perms)
+        shuffled = shuffled.reshape(B, nch * s, C)
+        if nch * s < T:
+            shuffled = jnp.concatenate([shuffled, x[:, nch * s:]], axis=1)
+        variants.append(shuffled)
+    choice = jax.random.randint(k_choice, (B,), 0, len(sizes))
+    stacked = jnp.stack(variants, axis=0)          # (S, B, T, C)
+    return jnp.take_along_axis(
+        stacked, choice[None, :, None, None], axis=0)[0]
+
+
+@dataclasses.dataclass
+class DiffusionTrainState:
+    variables: Dict[str, Any]
+    opt_state: Any
+    cls_opt_state: Any
+    ema_params: Any
+    step: int
+
+
+class DiffusionTrainer:
+    """Owns the jitted step variants and the host training loop."""
+
+    def __init__(self, cfg: AfterConfig, rf: Optional[RectifiedFlow] = None):
+        self.cfg = cfg
+        self.tc = cfg.train
+        self.rf = rf or RectifiedFlow(cfg)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(self.tc.grad_clip),
+            optax.adamw(self.tc.lr, b1=0.9, b2=0.999, weight_decay=0.01))
+        self.cls_optimizer = optax.adamw(self.tc.lr, b1=0.9, b2=0.999,
+                                         weight_decay=0.01)
+
+    # ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array, batch_size: Optional[int] = None
+             ) -> DiffusionTrainState:
+        variables = self.rf.init(rng, batch_size or self.tc.batch_size)
+        main_params = self._main_params(variables)
+        opt_state = self.optimizer.init(main_params)
+        cls_opt_state = (self.cls_optimizer.init(
+            variables["classifier"]["params"])
+            if "classifier" in variables else None)
+        ema = jax.tree_util.tree_map(jnp.copy, variables["net"]["params"])
+        return DiffusionTrainState(variables, opt_state, cls_opt_state,
+                                   ema, 0)
+
+    def _main_params(self, variables):
+        parts = {"net": variables["net"]["params"],
+                 "encoder": variables["encoder"]["params"]}
+        if "encoder_time" in variables:
+            parts["encoder_time"] = variables["encoder_time"]["params"]
+        return parts
+
+    # ------------------------------------------------------------------
+    # loss assembly (phase-static)
+    # ------------------------------------------------------------------
+
+    def _compute_loss(self, main_params, variables, batch, rng, *,
+                      phase1: bool, train_encoder: bool,
+                      train_encoder_time: bool, use_cycle: bool,
+                      adversarial_weight, regularisation_weight):
+        """Returns (loss, (metrics, batch_stats_updates))."""
+        cfg, tc, rf = self.cfg, self.tc, self.rf
+        x1, x1_cond, x1_time_cond = (batch["x"], batch["x_cond"],
+                                     batch["x_time_cond"])
+        ks = jax.random.split(rng, 8)
+
+        # rebuild full variable dicts with the (possibly differentiated) params
+        def vars_of(name):
+            v = dict(variables[name])
+            if name in main_params:
+                v = {**v, "params": main_params[name]}
+            return v
+
+        # timbre stream: shuffle chunks -> ECAPA -> noise aug
+        if tc.shuffle_zsem:
+            x1_cond = shuffle_time_chunks(ks[0], x1_cond,
+                                          tuple(tc.shuffle_zsem))
+        enc_in = (x1_cond if train_encoder
+                  else jax.lax.stop_gradient(x1_cond))
+        (cond, cond_mean, cond_reg), enc_updates = rf.encoder.apply(
+            vars_of("encoder"), enc_in, training=True, rng=ks[1],
+            mutable=["batch_stats"])
+        if not train_encoder:
+            cond = jax.lax.stop_gradient(cond)
+            cond_reg = jax.lax.stop_gradient(cond_reg)
+        cond = cond + tc.zsem_noise_aug * jax.random.normal(ks[2], cond.shape)
+
+        # structure stream
+        bs_updates = {"encoder": enc_updates}
+        if rf.encoder_time is not None and not phase1:
+            (time_cond, _, time_cond_reg), et_updates = rf.encoder_time.apply(
+                vars_of("encoder_time"), x1_time_cond, training=True,
+                rng=ks[3], rngs={"dropout": ks[3]}, mutable=["batch_stats"])
+            if not train_encoder_time:
+                time_cond = jax.lax.stop_gradient(time_cond)
+                time_cond_reg = jax.lax.stop_gradient(time_cond_reg)
+            bs_updates["encoder_time"] = et_updates
+        elif rf.encoder_time is None:
+            time_cond = x1_time_cond
+            time_cond_reg = jnp.asarray(0.0)
+        else:  # phase 1: structure fully dropped (model.py:311-317)
+            time_cond = jnp.full(
+                (x1.shape[0], x1.shape[1], cfg.zs_channels), cfg.drop_value)
+            time_cond_reg = jnp.asarray(0.0)
+
+        time_cond = time_cond + tc.time_cond_noise_aug * jax.random.normal(
+            ks[4], time_cond.shape)
+
+        # CFG dropout (phase 1 drops nothing per-condition, model.py:329-332)
+        targets = () if phase1 else tuple(tc.drop_targets)
+        cond_drop, time_cond_drop = rf.cfgdrop(
+            ks[5], [cond, time_cond], targets, cfg.drop_rate)
+        if phase1:
+            time_cond_drop = jnp.full_like(time_cond_drop, cfg.drop_value)
+
+        # adversarial classifier fooling term (model.py:372-383)
+        if rf.classifier is not None and not phase1:
+            (cond_pred, _, _), _ = rf.classifier.apply(
+                variables["classifier"], time_cond, training=True,
+                rngs={"dropout": ks[5]}, mutable=["batch_stats"])
+            classifier_loss = self._adversarial_loss(
+                cond_pred, jax.lax.stop_gradient(cond))
+        else:
+            classifier_loss = jnp.asarray(0.0)
+
+        diffusion_loss, (interpolant, t) = rf.diffusion_loss(
+            vars_of("net"), ks[6], x1, time_cond_drop, cond_drop)
+
+        if use_cycle:
+            cond_cycle, tcond_cycle = self._cycle_step(
+                main_params, variables, interpolant, t, time_cond, cond,
+                ks[7])
+        else:
+            cond_cycle = tcond_cycle = jnp.asarray(0.0)
+
+        cw = tuple(tc.cycle_weights) if use_cycle else (0.0, 0.0)
+        loss = (diffusion_loss
+                - adversarial_weight * classifier_loss
+                + cw[0] * cond_cycle + cw[1] * tcond_cycle
+                + regularisation_weight * jnp.mean(cond_reg)
+                + regularisation_weight * jnp.mean(time_cond_reg))
+
+        metrics = {
+            "diffusion_loss": diffusion_loss,
+            "adversarial_loss": classifier_loss,
+            "cond_reg": jnp.mean(cond_reg),
+            "time_cond_reg": jnp.mean(time_cond_reg),
+            "cycle_cond": cond_cycle,
+            "cycle_time_cond": tcond_cycle,
+            "loss": loss,
+        }
+        return loss, (metrics, bs_updates)
+
+    def _adversarial_loss(self, pred, target):
+        if self.tc.adversarial_loss == "cosine":
+            num = jnp.sum(pred * target, axis=1)
+            den = (jnp.linalg.norm(pred, axis=1)
+                   * jnp.linalg.norm(target, axis=1) + 1e-8)
+            return jnp.mean(1.0 - num / den)
+        return jnp.mean(jnp.square(pred - target))
+
+    def _cycle_step(self, main_params, variables, interpolant, t, time_cond,
+                    cond, rng):
+        """Cycle-consistency (model.py:578-700), interpolant mode."""
+        cfg, tc, rf = self.cfg, self.tc, self.rf
+        k_perm, k_enc = jax.random.split(rng)
+        perm = jax.random.permutation(k_perm, cond.shape[0])
+
+        if tc.cycle_swap_target == "cond":
+            cond_t = jax.lax.stop_gradient(cond[perm])
+            tcond_t = jax.lax.stop_gradient(time_cond)
+        elif tc.cycle_swap_target == "time_cond":
+            cond_t = jax.lax.stop_gradient(cond)
+            tcond_t = jax.lax.stop_gradient(time_cond[perm])
+        else:  # alternate
+            half = cond.shape[0] // 2
+            sel = jnp.arange(cond.shape[0]) < half
+            cond_t = jax.lax.stop_gradient(
+                jnp.where(sel[:, None], cond, cond[perm]))
+            tcond_t = jax.lax.stop_gradient(
+                jnp.where(sel[:, None, None], time_cond[perm], time_cond))
+
+        net_vars = {"params": main_params["net"]}
+        v = rf.net.apply(net_vars, interpolant, t[:, 0, 0], cond_t, tcond_t)
+        x_transfer = interpolant + (1 - t) * v
+
+        (cond_rec, _, _), _ = rf.encoder.apply(
+            {**variables["encoder"], "params": main_params["encoder"]},
+            x_transfer, training=True, rng=k_enc, mutable=["batch_stats"])
+        (tcond_rec, _, _), _ = rf.encoder_time.apply(
+            {**variables["encoder_time"],
+             "params": main_params["encoder_time"]},
+            x_transfer, training=True, rngs={"dropout": k_enc},
+            mutable=["batch_stats"])
+
+        lt = tc.cycle_loss_type
+        if lt == "cosine":
+            c_loss = self._cos_loss(cond_rec, cond_t)
+            t_loss = self._cos_loss(tcond_rec, tcond_t)
+        elif lt.startswith("mse_margin"):
+            margin = float(lt.split("_")[-1])
+            c_loss = jnp.maximum(margin, jnp.square(cond_rec - cond_t))
+            t_loss = jnp.maximum(margin, jnp.square(tcond_rec - tcond_t))
+        else:  # mse
+            c_loss = jnp.square(cond_rec - cond_t)
+            t_loss = jnp.square(tcond_rec - tcond_t)
+
+        if tc.cycle_scaling == "ramps" and c_loss.ndim > 0:
+            scale = 0.5 * (1 + jnp.tanh(7 * (0.4 - t[:, 0, 0])))
+            c_loss = scale[:, None] * c_loss
+        return jnp.mean(c_loss), jnp.mean(t_loss)
+
+    def _cos_loss(self, a, b):
+        num = jnp.sum(a * b, axis=1)
+        den = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1) + 1e-8
+        return jnp.mean(1 - num / den)
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7), donate_argnums=(1,))
+    def train_step(self, state_tuple, batch, rng, phase1: bool,
+                   train_encoder: bool, train_encoder_time: bool,
+                   use_cycle: bool, adversarial_weight,
+                   regularisation_weight):
+        variables, opt_state, ema = state_tuple
+        main_params = self._main_params(variables)
+
+        (loss, (metrics, bs_updates)), grads = jax.value_and_grad(
+            self._compute_loss, has_aux=True)(
+                main_params, variables, batch, rng, phase1=phase1,
+                train_encoder=train_encoder,
+                train_encoder_time=train_encoder_time, use_cycle=use_cycle,
+                adversarial_weight=adversarial_weight,
+                regularisation_weight=regularisation_weight)
+
+        keep = {"net": True, "encoder": train_encoder,
+                "encoder_time": (not phase1) and train_encoder_time}
+        grads = tree_zeros_like_mask(grads, keep)
+        updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                   main_params)
+        updates = tree_zeros_like_mask(updates, keep)
+        main_params = optax.apply_updates(main_params, updates)
+
+        # write back params + batch_stats
+        for name in main_params:
+            variables[name] = {**variables[name], "params": main_params[name]}
+        for name, upd in bs_updates.items():
+            if upd:
+                variables[name] = {**variables[name], **upd}
+
+        decay = self.tc.ema_decay
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1 - decay) * p, ema,
+            variables["net"]["params"])
+        return (variables, opt_state, ema), metrics
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+    def classifier_step(self, state_tuple, batch, rng):
+        """Adversarial classifier update (model.py:341-364): predict the
+        timbre vector from (detached) structure codes."""
+        variables, cls_opt_state = state_tuple
+        tc, rf = self.tc, self.rf
+        ks = jax.random.split(rng, 3)
+        x1_cond, x1_time_cond = batch["x_cond"], batch["x_time_cond"]
+
+        if tc.shuffle_zsem:
+            x1_cond = shuffle_time_chunks(ks[0], x1_cond,
+                                          tuple(tc.shuffle_zsem))
+        cond, _, _ = rf.encoder.apply(variables["encoder"], x1_cond,
+                                      rng=ks[1])
+        time_cond, _, _ = rf.encoder_time.apply(
+            variables["encoder_time"], x1_time_cond)
+        cond = jax.lax.stop_gradient(cond)
+        time_cond = jax.lax.stop_gradient(time_cond)
+
+        def loss_fn(cls_params):
+            (pred, _, _), upd = rf.classifier.apply(
+                {**variables["classifier"], "params": cls_params},
+                time_cond, training=True, rngs={"dropout": ks[2]},
+                mutable=["batch_stats"])
+            return self._adversarial_loss(pred, cond), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["classifier"]["params"])
+        updates, cls_opt_state = self.cls_optimizer.update(
+            grads, cls_opt_state, variables["classifier"]["params"])
+        new_params = optax.apply_updates(variables["classifier"]["params"],
+                                         updates)
+        variables["classifier"] = {**variables["classifier"],
+                                   "params": new_params, **upd}
+        return (variables, cls_opt_state), {"classifier_loss": loss}
+
+    # ------------------------------------------------------------------
+    # host loop
+    # ------------------------------------------------------------------
+
+    def schedule_weights(self, step: int) -> Tuple[float, float]:
+        tc = self.tc
+        adv = min(tc.adversarial_weight * max(step - tc.timbre_warmup, 0)
+                  / tc.adversarial_warmup, tc.adversarial_weight)
+        reg = min(tc.regularisation_weight * step
+                  / max(tc.regularisation_warmup, 1),
+                  tc.regularisation_weight)
+        return adv, reg
+
+    def fit(self, state: DiffusionTrainState, batches: Iterator[Dict],
+            max_steps: Optional[int] = None, callback=None,
+            rng: Optional[jax.Array] = None) -> DiffusionTrainState:
+        """Run the training loop over an iterator of numpy batches
+        {"x", "x_cond", "x_time_cond"} of latent crops."""
+        tc = self.tc
+        max_steps = max_steps if max_steps is not None else tc.max_steps
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        for batch in batches:
+            if state.step >= max_steps:
+                break
+            step = state.step
+            rng, krng = jax.random.split(rng)
+            phase1 = step < tc.timbre_warmup
+            is_cls_step = (not phase1 and self.rf.classifier is not None
+                           and step % tc.update_classifier_every != 0)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+            if is_cls_step:
+                (variables, cls_opt), metrics = self.classifier_step(
+                    (state.variables, state.cls_opt_state), batch, krng)
+                state = dataclasses.replace(
+                    state, variables=variables, cls_opt_state=cls_opt,
+                    step=step + 1)
+            else:
+                adv_w, reg_w = self.schedule_weights(step)
+                train_enc = (tc.train_encoder
+                             and step <= tc.stop_training_encoder_step)
+                train_enc_t = (tc.train_encoder_time
+                               and step <= tc.stop_training_encoder_time_step)
+                use_cycle = tc.cycle_consistency and step > tc.cycle_start_step
+                (variables, opt_state, ema), metrics = self.train_step(
+                    (state.variables, state.opt_state, state.ema_params),
+                    batch, krng, phase1, train_enc, train_enc_t, use_cycle,
+                    adv_w, reg_w)
+                state = dataclasses.replace(
+                    state, variables=variables, opt_state=opt_state,
+                    ema_params=ema, step=step + 1)
+
+            if callback is not None:
+                callback(state, {k: float(v) for k, v in metrics.items()})
+        return state

@@ -1,0 +1,65 @@
+"""Benchmark: audio-to-audio timbre transfer real-time factor on one chip.
+
+Measures the full offline transfer pipeline (codec encode x2 -> timbre +
+structure encoders -> 20-step rectified-flow Euler sampler with 3-way CFG ->
+codec decode) on one 524288-sample (~11.9 s @ 44.1 kHz) chunk with the
+base-config model sizes (DenoiserV2 512x6, ECAPA [512,512,512,1024], 64-ch
+codec at 2048:1) — the reference's offline demo workload
+(/root/reference/notebooks/audio_to_audio_demo.ipynb, 20 steps).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is the real-time factor (audio seconds per wall second) and vs_baseline is
+measured against the 50x north-star target (BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from after_tpu.config import get_config
+    from after_tpu.diffusion import TransferPipeline
+
+    SR = 44100
+    N_SAMPLES = 524288
+    NB_STEPS = 20
+
+    cfg = get_config("base")
+    ratio = cfg.autoencoder.ratio            # 2048
+    n_signal = N_SAMPLES // ratio            # 256 latent frames
+    cfg = cfg.resolved(in_size=cfg.autoencoder.z_channels, n_signal=n_signal)
+
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0), batch_size=1)
+
+    rng = np.random.RandomState(0)
+    a_struct = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
+    a_timbre = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
+
+    # warmup / compile
+    out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)
+    jax.block_until_ready(out)
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    audio_seconds = N_SAMPLES / SR
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "a2a_transfer_realtime_factor",
+        "value": round(rtf, 2),
+        "unit": "x_realtime(44.1kHz, 20 diffusion steps, batch 1)",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
