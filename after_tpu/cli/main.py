@@ -1,0 +1,47 @@
+"""`after-tpu` command line — mirrors the reference `after` CLI surface
+(/root/reference/after_scripts/main_cli.py:5-8):
+
+    after-tpu prepare_dataset   corpus -> record store with latents
+    after-tpu update_dataset    re-encode latents for an existing store
+    after-tpu train_autoencoder codec GAN training
+    after-tpu export_autoencoder codec streaming export
+    after-tpu train             diffusion training
+    after-tpu export            a2a streaming export
+    after-tpu export_midi       midi-to-audio streaming export
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+AVAILABLE = ["prepare_dataset", "update_dataset", "train_autoencoder",
+             "export_autoencoder", "train", "export", "export_midi"]
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in AVAILABLE:
+        print("usage: after-tpu {" + ",".join(AVAILABLE) + "} [args...]")
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "prepare_dataset":
+        from . import prepare_dataset
+        return prepare_dataset.main(rest)
+    if cmd == "update_dataset":
+        from . import prepare_dataset
+        return prepare_dataset.update_main(rest)
+    if cmd == "train":
+        from . import train
+        return train.main(rest)
+    if cmd == "train_autoencoder":
+        from . import train_autoencoder
+        return train_autoencoder.main(rest)
+    if cmd in ("export", "export_midi", "export_autoencoder"):
+        from . import export
+        return export.main(cmd, rest)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

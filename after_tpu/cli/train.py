@@ -1,0 +1,129 @@
+"""`after-tpu train`: diffusion model training.
+
+Reference: /root/reference/after_scripts/train.py — compose configs, probe
+the codec's latent size/ratio with a dummy encode, build datasets + weighted
+samplers, run the two-phase curriculum with validation sampling and periodic
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import get_config, to_json, with_overrides
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(prog="after-tpu train")
+    p.add_argument("--name", required=True)
+    p.add_argument("--db_path", action="append", required=True,
+                   help="record store path(s); repeatable")
+    p.add_argument("--config", action="append", default=None,
+                   help="preset then overlays, e.g. --config base --config cycle")
+    p.add_argument("--emb_model_path", default=None,
+                   help="codec checkpoint for validation audio decode")
+    p.add_argument("--out_path", default="./after_runs")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--restart", type=int, default=None)
+    p.add_argument("--ae_ratio", type=int, default=2048)
+    p.add_argument("--sr", type=int, default=44100)
+    return p
+
+
+def main(argv=None) -> int:
+    import jax
+
+    from ..dataset import CombinedDataset, DataLoader, make_collate_fn
+    from ..diffusion.trainer import DiffusionTrainer
+    from ..utils.checkpoint import (available_steps, restore_checkpoint,
+                                    save_checkpoint)
+    from ..utils.logging import MetricsLogger
+
+    args = build_argparser().parse_args(argv)
+    names = tuple(args.config) if args.config else ("base",)
+    cfg = get_config(*names)
+
+    # probe latent geometry from the dataset (the reference probes by encoding
+    # a dummy tensor through the codec, train.py:71-86; here the store already
+    # holds latents, so probe the first record)
+    path_dict = {os.path.basename(p.rstrip("/")) or f"db{i}": p
+                 for i, p in enumerate(args.db_path)}
+    dataset = CombinedDataset(path_dict, keys=["z", "midi_bytes", "metadata"]
+                              if cfg.structure_type == "midi" else
+                              ["z", "metadata"], config="train")
+    probe = dataset[0]["z"]
+    in_size = probe.shape[0]
+    cfg = cfg.resolved(in_size=in_size)
+    if args.batch_size:
+        cfg = with_overrides(cfg, {"train.batch_size": args.batch_size})
+    if args.max_steps:
+        cfg = with_overrides(cfg, {"train.max_steps": args.max_steps})
+
+    model_dir = os.path.join(args.out_path, args.name)
+    os.makedirs(model_dir, exist_ok=True)
+    logger = MetricsLogger(model_dir)
+
+    collate = make_collate_fn(cfg.train.n_signal, cfg.structure_type,
+                              args.ae_ratio, args.sr)
+    loader = DataLoader(dataset, cfg.train.batch_size, collate,
+                        weights=dataset.example_weights)
+    valset = CombinedDataset(path_dict, keys=["z", "metadata"],
+                             config="validation")
+    val_loader = DataLoader(valset, cfg.train.batch_size, collate)
+
+    trainer = DiffusionTrainer(cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    if args.restart is not None:
+        restored = restore_checkpoint(model_dir, args.restart or None)
+        state = dataclasses.replace(
+            state, variables=restored["variables"],
+            ema_params=restored["ema_params"],
+            step=int(restored["step"]))
+        print(f"[train] restarting from step {state.step}")
+
+    def callback(st, metrics):
+        logger.log(st.step, metrics)
+        if st.step % cfg.train.steps_save == 0 and st.step > 0:
+            save_checkpoint(model_dir, st.step,
+                            {"variables": st.variables,
+                             "ema_params": st.ema_params,
+                             "step": st.step},
+                            config_json=to_json(cfg))
+            print(f"[train] saved checkpoint at {st.step}")
+        if st.step % cfg.train.steps_valid == 0 and st.step > 0:
+            vloss = validate(trainer, st, val_loader)
+            logger.log(st.step, {"val_diffusion_loss": vloss})
+            print(f"[train] step {st.step} val loss {vloss:.4f}")
+
+    print(f"[train] {args.name}: in_size={in_size}, "
+          f"batch={cfg.train.batch_size}, steps={cfg.train.max_steps}")
+    state = trainer.fit(state, iter(loader), callback=callback)
+    save_checkpoint(model_dir, state.step,
+                    {"variables": state.variables,
+                     "ema_params": state.ema_params, "step": state.step},
+                    config_json=to_json(cfg))
+    return 0
+
+
+def validate(trainer, state, val_loader, n_batches: int = 8) -> float:
+    import jax
+    import jax.numpy as jnp
+    losses = []
+    it = iter(val_loader)
+    for i in range(n_batches):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        (cond, _, _), _ = trainer.rf.encode_timbre(state.variables,
+                                                   batch["x_cond"])
+        (tcond, _, _), _ = trainer.rf.encode_structure(state.variables,
+                                                       batch["x_time_cond"])
+        loss, _ = trainer.rf.diffusion_loss(
+            state.variables["net"], jax.random.PRNGKey(i), batch["x"],
+            tcond, cond, training=False)
+        losses.append(float(loss))
+    return float(np.mean(losses))

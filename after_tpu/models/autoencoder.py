@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..config import AutoEncoderConfig
 from ..ops.conv import StreamConv1d, StreamConvTranspose1d
-from ..ops.pqmf import get_pqmf
+from ..ops.pqmf import PQMFAnalysis, PQMFSynthesis
 from ..ops.snake import SnakeBeta
 
 
@@ -199,6 +199,17 @@ class CodecDecoder(nn.Module):
         return h
 
 
+def decoder_band_delay(cfg: AutoEncoderConfig) -> int:
+    """Streaming delay (band-rate frames) of the causal decoder vs the
+    centered offline decoder: each transpose-conv upsample contributes
+    factor//2 frames at its output rate (ops.conv.StreamConvTranspose1d
+    delay rule); causal convs contribute zero."""
+    d = 0
+    for f in cfg.factors[::-1]:
+        d = d * f + f // 2
+    return d
+
+
 def relu_bottleneck_reg(z: jnp.ndarray, scale: float = 3.0) -> jnp.ndarray:
     """SimpleLatentReg: ELU(|z| - scale).mean() + 1 (core.py:189-198)."""
     return jnp.mean(nn.elu(jnp.abs(z) - scale)) + 1.0
@@ -215,7 +226,13 @@ class AudioCodec(nn.Module):
     streaming: bool = False
 
     def setup(self):
-        self.pqmf = get_pqmf(self.cfg.pqmf_attenuation, self.cfg.pqmf_bands)
+        self.pqmf = PQMFAnalysis(self.cfg.pqmf_attenuation,
+                                 self.cfg.pqmf_bands, self.cfg.causal,
+                                 self.streaming)
+        self.pqmf_inv = PQMFSynthesis(self.cfg.pqmf_attenuation,
+                                      self.cfg.pqmf_bands, self.cfg.causal,
+                                      self.streaming,
+                                      parity=decoder_band_delay(self.cfg) % 2)
         self.encoder = CodecEncoder(self.cfg, self.streaming)
         self.decoder = CodecDecoder(self.cfg, self.streaming)
 
@@ -245,22 +262,22 @@ class AudioCodec(nn.Module):
         return z, jnp.asarray(0.0)
 
     def encode(self, x, rng: Optional[jax.Array] = None):
-        xb = self.pqmf.forward(x) if self.cfg.pqmf_bands > 1 else x
+        xb = self.pqmf(x) if self.cfg.pqmf_bands > 1 else x
         z = self.encoder(xb)
         z, reg = self.bottleneck(z, rng)
         return z
 
     def decode(self, z):
         yb = self.decoder(z)
-        y = self.pqmf.inverse(yb) if self.cfg.pqmf_bands > 1 else yb
+        y = self.pqmf_inv(yb) if self.cfg.pqmf_bands > 1 else yb
         return y
 
     def __call__(self, x, rng: Optional[jax.Array] = None):
         """Training forward: returns (y, y_bands, z, reg, x_bands)
         mirroring return_all=True (SimpleNetsStream.py:899-916)."""
-        xb = self.pqmf.forward(x) if self.cfg.pqmf_bands > 1 else x
+        xb = self.pqmf(x) if self.cfg.pqmf_bands > 1 else x
         z = self.encoder(xb)
         z, reg = self.bottleneck(z, rng, apply_noise=rng is not None)
         yb = self.decoder(z)
-        y = self.pqmf.inverse(yb) if self.cfg.pqmf_bands > 1 else yb
+        y = self.pqmf_inv(yb) if self.cfg.pqmf_bands > 1 else yb
         return y, yb, z, reg, xb

@@ -106,10 +106,17 @@ class PQMF:
         mask[0, 1::2] = -1.0
         self._mask2 = jnp.asarray(mask)
 
-    def _apply_mask(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _apply_mask(self, x: jnp.ndarray, parity: int = 0) -> jnp.ndarray:
+        """reverse_half sign mask; `parity` shifts the period-2 time pattern.
+
+        A streamed band signal arrives delayed by the upstream (static) conv
+        delay d; the mask must follow the signal, so synthesis applies it
+        with parity = d % 2 (see PQMFSynthesis).  Chunk lengths are even in
+        all shipped configs, so parity is constant across chunks.
+        """
         T = x.shape[1]
-        reps = (T + 1) // 2
-        m = jnp.tile(self._mask2, (reps, 1))[:T]
+        reps = (T + 3) // 2
+        m = jnp.tile(self._mask2, (reps, 1))[parity:parity + T]
         return x * m[None]
 
     @partial(jax.jit, static_argnums=0)
@@ -150,3 +157,99 @@ class PQMF:
 def get_pqmf(attenuation: float = 100, n_band: int = 16) -> PQMF:
     """Cached PQMF instances (filter design runs scipy.optimize once)."""
     return PQMF(attenuation, n_band)
+
+
+# ---------------------------------------------------------------------------
+# Flax PQMF modules (causal/streaming variants for the streamable codec)
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn  # noqa: E402
+
+
+class PQMFAnalysis(nn.Module):
+    """PQMF analysis as a flax module: centered (offline parity with the
+    reference PQMF) or causal (streamable, reference CachedPQMF,
+    pqmf.py:252-290).  Causal mode supports chunked streaming with an
+    explicit left-context cache."""
+
+    attenuation: float = 100
+    n_band: int = 16
+    causal: bool = False
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.n_band == 1:
+            return x
+        pq = get_pqmf(self.attenuation, self.n_band)
+        B, T, _ = x.shape
+        M, K = pq.n_band, pq.taps
+        xp = x.reshape(B, T // M, M)
+        if self.causal:
+            pad = (K - 1, 0)
+            if self.streaming:
+                cache = self.variable(
+                    "cache", "carry",
+                    lambda: jnp.zeros((B, K - 1, M), x.dtype))
+                xp_full = jnp.concatenate([cache.value, xp], axis=1)
+                cache.value = xp_full[:, -(K - 1):]
+                y = jax.lax.conv_general_dilated(
+                    xp_full, pq._ana_kernel, (1,), "VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xp, pq._ana_kernel, (1,), [pad],
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+        else:
+            p = K // 2
+            y = jax.lax.conv_general_dilated(
+                xp, pq._ana_kernel, (1,), [(p, p)],
+                dimension_numbers=("NWC", "WIO", "NWC"))[:, :-1]
+        if self.streaming:
+            assert T // M % 2 == 0, "streaming PQMF needs even chunk frames"
+        return pq._apply_mask(y)
+
+
+class PQMFSynthesis(nn.Module):
+    """PQMF synthesis (inverse) as a flax module; causal mode is streamable
+    and skips the centered 2M-sample alignment trim (delay is metadata)."""
+
+    attenuation: float = 100
+    n_band: int = 16
+    causal: bool = False
+    streaming: bool = False
+    parity: int = 0     # (upstream band-frame delay) % 2, streaming only
+
+    @nn.compact
+    def __call__(self, xb: jnp.ndarray) -> jnp.ndarray:
+        if self.n_band == 1:
+            return xb
+        pq = get_pqmf(self.attenuation, self.n_band)
+        B, Tm, M = xb.shape
+        K = pq.taps
+        x = pq._apply_mask(xb, self.parity if self.streaming else 0)
+        if self.causal:
+            if self.streaming:
+                cache = self.variable(
+                    "cache", "carry",
+                    lambda: jnp.zeros((B, K - 1, M), xb.dtype))
+                x_full = jnp.concatenate([cache.value, x], axis=1)
+                cache.value = x_full[:, -(K - 1):]
+                y = jax.lax.conv_general_dilated(
+                    x_full, pq._syn_kernel, (1,), "VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x, pq._syn_kernel, (1,), [(K - 1, 0)],
+                    dimension_numbers=("NWC", "WIO", "NWC"))
+            y = y * M
+            y = y[:, :, ::-1]
+            return y.reshape(B, -1, 1)
+        pad = K // 2 + 1
+        y = jax.lax.conv_general_dilated(
+            x, pq._syn_kernel, (1,), [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        y = y[:, :-1] * M
+        y = y[:, :, ::-1]
+        wav = y.reshape(B, -1, 1)
+        return wav[:, 2 * M:]

@@ -1,0 +1,212 @@
+"""Real-time streaming graph — the TPU replacement for the nn_tilde Streamer.
+
+Reference: /root/reference/after_scripts/export.py:145-518 (Streamer): the
+exported TorchScript module holding codec+encoder+denoiser state in
+registered buffers, called buffer-by-buffer from the nn~ C++ audio thread.
+
+Here every method is a pure jitted step `(variables, state, x) -> (y, state)`
+over an explicit :class:`StreamState` pytree:
+
+    forward    audio chunk x2 (structure, timbre)  -> audio chunk
+    structure  audio chunk -> per-frame structure codes
+    timbre     audio chunk -> timbre vector (ring-buffered context window)
+    diffuse    (structure codes, timbre vec) -> codec latents (KV-cached)
+    decode     codec latents -> audio chunk
+
+State covers: codec conv caches (separate encode states for the structure and
+timbre streams — reference loads the codec twice, export.py:159-168), codec
+decoder caches, structure-encoder conv caches, per-diffusion-step denoiser KV
+caches (batch 3B for the CFG triple), and the timbre ring buffer
+(export.py:208-212 previous_timbre).
+
+Requires a causal codec config (`autoencoder.causal=True`); the reference's
+non-causal crossfade path (export_autoencoder.py:131-153) is a separate
+export mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AfterConfig
+from ..models import AudioCodec, Denoiser, ECAPAEncoder, Encoder1D
+from ..diffusion.rectified_flow import RectifiedFlow
+from .state import zero_cache
+
+
+@dataclasses.dataclass
+class StreamState:
+    codec_struct: Any      # codec encoder caches, structure stream
+    codec_timbre: Any      # codec encoder caches, timbre stream
+    codec_dec: Any         # codec decoder caches
+    enc_time: Any          # structure-encoder conv caches
+    denoiser: Any          # per-step KV caches (batch 3B)
+    prev_timbre: jnp.ndarray   # (B, n_signal_timbre, z) latent ring buffer
+
+
+jax.tree_util.register_dataclass(
+    StreamState,
+    data_fields=["codec_struct", "codec_timbre", "codec_dec", "enc_time",
+                 "denoiser", "prev_timbre"],
+    meta_fields=[])
+
+
+class Streamer:
+
+    def __init__(self, cfg: AfterConfig, chunk_size: int = 4,
+                 latent_range: float = 1.0):
+        if not cfg.autoencoder.causal:
+            raise ValueError(
+                "streaming requires a causal codec config "
+                "(get_config(..., 'streaming'))")
+        self.cfg = cfg
+        self.chunk_size = chunk_size
+        self.latent_range = latent_range
+        self.ratio = cfg.autoencoder.ratio
+        self.audio_chunk = chunk_size * self.ratio
+        self.n_signal_timbre = cfg.train.n_signal
+
+        self.codec = AudioCodec(cfg.autoencoder, streaming=True)
+        self.rf = RectifiedFlow(cfg)
+        self.enc_time = (Encoder1D(cfg.encoder_time, streaming=True)
+                         if cfg.encoder_time is not None else None)
+        self.encoder = ECAPAEncoder(cfg.encoder)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, variables, batch_size: int = 1) -> StreamState:
+        """Zeroed stream state for `batch_size` parallel voices."""
+        cfg = self.cfg
+        B, A = batch_size, self.audio_chunk
+        z_ch = cfg.autoencoder.z_channels
+        T = self.chunk_size
+
+        def cache_of(module, vars_key, *args, method=None):
+            v = module.init({"params": jax.random.PRNGKey(0)}, *args,
+                            method=method)
+            return zero_cache(v.get("cache", {}))
+
+        enc_cache = cache_of(self.codec, "codec",
+                             jnp.zeros((B, A, 1)), method=AudioCodec.encode)
+        dec_cache = cache_of(self.codec, "codec",
+                             jnp.zeros((B, T, z_ch)), method=AudioCodec.decode)
+        et_cache = (cache_of(self.enc_time, "encoder_time",
+                             jnp.zeros((B, T, z_ch)))
+                    if self.enc_time is not None else {})
+        dn_cache = zero_cache(self.rf.net_stream.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((3 * B, T, z_ch)), jnp.zeros((3 * B,)),
+            jnp.zeros((3 * B, cfg.zt_channels)),
+            jnp.zeros((3 * B, T, cfg.zs_channels)))["cache"])
+        return StreamState(
+            codec_struct=enc_cache,
+            codec_timbre=jax.tree_util.tree_map(jnp.copy, enc_cache),
+            codec_dec=dec_cache,
+            enc_time=et_cache,
+            denoiser=dn_cache,
+            prev_timbre=jnp.zeros((B, self.n_signal_timbre, z_ch)))
+
+    # ------------------------------------------------------------------
+    # step functions (each jitted once)
+    # ------------------------------------------------------------------
+
+    def _codec_encode(self, variables, cache, audio):
+        z, aux = self.codec.apply(
+            {**variables["codec"], "cache": cache}, audio,
+            method=AudioCodec.encode, mutable=["cache"])
+        return z, aux["cache"]
+
+    @partial(jax.jit, static_argnums=0)
+    def structure(self, variables, state: StreamState, audio: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, StreamState]:
+        """(B, chunk*ratio, 1) audio -> (B, chunk, zs) structure codes
+        (export.py:432-436)."""
+        z, enc_cache = self._codec_encode(variables, state.codec_struct, audio)
+        if self.enc_time is not None:
+            zs, aux = self.enc_time.apply(
+                {**variables["diffusion"]["encoder_time"],
+                 "cache": state.enc_time}, z, mutable=["cache"])
+            zs = zs[0]
+            et_cache = aux["cache"]
+        else:
+            zs, et_cache = z, state.enc_time
+        return zs, dataclasses.replace(state, codec_struct=enc_cache,
+                                       enc_time=et_cache)
+
+    @partial(jax.jit, static_argnums=0)
+    def timbre(self, variables, state: StreamState, audio: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, StreamState]:
+        """(B, chunk*ratio, 1) audio -> (B, zt) timbre vector via the latent
+        ring buffer (export.py:419-430)."""
+        z, enc_cache = self._codec_encode(variables, state.codec_timbre, audio)
+        ring = jnp.concatenate([state.prev_timbre, z], axis=1)[:, z.shape[1]:]
+        zt, _, _ = self.encoder.apply(variables["diffusion"]["encoder"], ring)
+        zt = zt / self.latent_range
+        return zt, dataclasses.replace(state, codec_timbre=enc_cache,
+                                       prev_timbre=ring)
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def diffuse(self, variables, state: StreamState, time_cond: jnp.ndarray,
+                zsem: jnp.ndarray, nb_steps: int = 1,
+                guidance_timbre: float = 1.0, guidance_structure: float = 1.0,
+                rng: Optional[jax.Array] = None
+                ) -> Tuple[jnp.ndarray, StreamState]:
+        """(B, chunk, zs) structure + (B, zt) timbre -> (B, chunk, latents)
+        denoised codec latents (export.py:438-460)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        zsem = zsem * self.latent_range
+        B, T = time_cond.shape[0], time_cond.shape[1]
+        x0 = jax.random.normal(rng, (B, T, self.cfg.denoiser.n_channels))
+        x, dn_cache = self.rf.sample_stream(
+            variables["diffusion"]["net"], state.denoiser, x0, zsem,
+            time_cond, nb_steps, guidance_timbre, guidance_structure)
+        return x, dataclasses.replace(state, denoiser=dn_cache)
+
+    @partial(jax.jit, static_argnums=0)
+    def decode(self, variables, state: StreamState, z: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, StreamState]:
+        y, aux = self.codec.apply(
+            {**variables["codec"], "cache": state.codec_dec}, z,
+            method=AudioCodec.decode, mutable=["cache"])
+        return y, dataclasses.replace(state, codec_dec=aux["cache"])
+
+    def forward(self, variables, state: StreamState,
+                audio_structure: jnp.ndarray, audio_timbre: jnp.ndarray,
+                nb_steps: int = 1, guidance_timbre: float = 1.0,
+                guidance_structure: float = 1.0,
+                rng: Optional[jax.Array] = None
+                ) -> Tuple[jnp.ndarray, StreamState]:
+        """Full audio->audio streaming step (export.py:486-493)."""
+        zs, state = self.structure(variables, state, audio_structure)
+        zt, state = self.timbre(variables, state, audio_timbre)
+        z, state = self.diffuse(variables, state, zs, zt, nb_steps,
+                                guidance_timbre, guidance_structure, rng=rng)
+        audio, state = self.decode(variables, state, z)
+        return audio, state
+
+    # ------------------------------------------------------------------
+
+    def method_specs(self) -> Dict[str, Dict]:
+        """I/O metadata for host integration — the equivalent of nn_tilde's
+        register_method channel/ratio declarations (export.py:190-328)."""
+        cfg = self.cfg
+        r = self.ratio
+        return {
+            "forward": dict(in_channels=2, in_ratio=1, out_channels=1,
+                            out_ratio=1),
+            "structure": dict(in_channels=1, in_ratio=1,
+                              out_channels=cfg.zs_channels, out_ratio=r),
+            "timbre": dict(in_channels=1, in_ratio=1,
+                           out_channels=cfg.zt_channels, out_ratio=r),
+            "diffuse": dict(in_channels=cfg.zs_channels + cfg.zt_channels,
+                            in_ratio=r,
+                            out_channels=cfg.denoiser.n_channels,
+                            out_ratio=r),
+            "decode": dict(in_channels=cfg.denoiser.n_channels, in_ratio=r,
+                           out_channels=1, out_ratio=1),
+        }

@@ -1,0 +1,82 @@
+"""Checkpoint save/restore for train states.
+
+Reference behaviour (/root/reference/after/diffusion/model.py:144-176,
+221-247): periodic `checkpoint<step>_EMA.pt` dicts with model+optimizer
+state, EMA-averaged net weights, resume via --restart with partial-load
+masks, and the run's own config written next to the checkpoints for
+round-trip reproducibility.
+
+Implementation: orbax-checkpoint (async-capable, TPU-native) with a plain
+directory-per-step layout plus a `config.json` dump.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(model_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(model_dir), f"checkpoint_{step}")
+
+
+def save_checkpoint(model_dir: str, step: int, tree: Any,
+                    config_json: Optional[str] = None) -> str:
+    """Save a pytree (train state contents) at `model_dir/checkpoint_<step>`."""
+    os.makedirs(model_dir, exist_ok=True)
+    path = _ckpt_dir(model_dir, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    if config_json is not None:
+        with open(os.path.join(model_dir, "config.json"), "w") as f:
+            f.write(config_json)
+    return path
+
+
+def available_steps(model_dir: str) -> List[int]:
+    if not os.path.isdir(model_dir):
+        return []
+    steps = []
+    for name in os.listdir(model_dir):
+        m = re.fullmatch(r"checkpoint_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def restore_checkpoint(model_dir: str, step: Optional[int] = None,
+                       target: Any = None) -> Any:
+    """Restore the pytree at `step` (default: latest)."""
+    steps = available_steps(model_dir)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {model_dir}")
+    step = step if step is not None else steps[-1]
+    path = _ckpt_dir(model_dir, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+                if hasattr(x, "shape") or np.isscalar(x) else x, target)
+            return ckptr.restore(path, abstract)
+        return ckptr.restore(path)
+
+
+def filter_partial_load(restored: Dict, current: Dict,
+                        load_encoders=(True, True, True)) -> Dict:
+    """Partial-load mask for restarts with frozen/absent encoders
+    (reference load_encoders filter, model.py:226-238): positions are
+    (encoder, encoder_time, net)."""
+    out = dict(current)
+    names = [("encoder", load_encoders[0]),
+             ("encoder_time", load_encoders[1]),
+             ("net", load_encoders[2])]
+    for name, load in names:
+        if load and name in restored:
+            out[name] = restored[name]
+    return out

@@ -1,0 +1,115 @@
+"""Streaming runtime tests: causal codec stream==offline, Streamer smoke run.
+
+The stream==offline property is the deepest correctness requirement of the
+framework (SURVEY §7.3 #1) and is never verified programmatically by the
+reference."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from after_tpu.config import AutoEncoderConfig, with_overrides
+from after_tpu.models import AudioCodec
+from after_tpu.streaming import init_stream_state
+from after_tpu.streaming.streamer import Streamer
+from tests.test_diffusion import micro_config
+
+
+def causal_micro_ae():
+    return AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                             multipliers=(1, 2, 2), factors=(2, 2),
+                             dilations=(1, 3), num_blocks_per_stage=1,
+                             causal=True, use_norm=False)
+
+
+def test_causal_codec_encode_stream_equals_offline():
+    cfg = causal_micro_ae()
+    codec = AudioCodec(cfg)
+    scodec = AudioCodec(cfg, streaming=True)
+    T = cfg.ratio * 32
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (1, T, 1))
+    variables = codec.init(jax.random.PRNGKey(1), x)
+    z_off = codec.apply(variables, x, method=AudioCodec.encode)
+
+    chunk = cfg.ratio * 4
+    cache = init_stream_state(scodec, x[:, :chunk], method=AudioCodec.encode)
+    outs = []
+    for i in range(0, T, chunk):
+        z, aux = scodec.apply({"params": variables["params"], "cache": cache},
+                              x[:, i:i + chunk], method=AudioCodec.encode,
+                              mutable=["cache"])
+        cache = aux["cache"]
+        outs.append(z)
+    z_stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(z_stream), np.asarray(z_off),
+                               atol=1e-4)
+
+
+def test_causal_codec_decode_stream_equals_offline():
+    cfg = causal_micro_ae()
+    codec = AudioCodec(cfg)
+    scodec = AudioCodec(cfg, streaming=True)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 32, cfg.z_channels))
+    variables = codec.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, cfg.ratio * 32, 1)))
+    y_off = codec.apply(variables, z, method=AudioCodec.decode)
+
+    cache = init_stream_state(scodec, z[:, :4], method=AudioCodec.decode)
+    outs = []
+    for i in range(0, 32, 4):
+        y, aux = scodec.apply({"params": variables["params"], "cache": cache},
+                              z[:, i:i + 4], method=AudioCodec.decode,
+                              mutable=["cache"])
+        cache = aux["cache"]
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=1)
+    # streaming decoder output is delayed by the (static) transpose-conv
+    # delay metadata; equality holds exactly after the warm-up transient
+    from after_tpu.models.autoencoder import decoder_band_delay
+    lag = decoder_band_delay(cfg) * cfg.pqmf_bands
+    off = np.asarray(y_off)[0, :, 0]
+    stream = np.asarray(y_stream)[0, :, 0]
+    skip = 8 * cfg.ratio  # warm-up transient (receptive field)
+    a = off[skip:len(stream) - lag]
+    b = stream[skip + lag:]
+    err = np.abs(a - b).max()
+    assert err < 1e-4, f"stream/offline mismatch {err} (lag {lag})"
+
+
+def test_streamer_full_graph():
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {
+        "autoencoder.causal": True,
+        "autoencoder.use_norm": False,
+        "train.n_signal": 32,
+    })
+    streamer = Streamer(cfg, chunk_size=4)
+    from after_tpu.diffusion import TransferPipeline
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    state = streamer.init_state(variables, batch_size=1)
+
+    audio = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                    (1, streamer.audio_chunk, 1))
+    out, state = streamer.forward(variables, state, audio, audio,
+                                  nb_steps=2)
+    assert out.shape == (1, streamer.audio_chunk, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # run a few more chunks; state threads through
+    for _ in range(3):
+        out, state = streamer.forward(variables, state, audio, audio,
+                                      nb_steps=2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_streamer_specs():
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {"autoencoder.causal": True,
+                               "autoencoder.use_norm": False})
+    streamer = Streamer(cfg)
+    specs = streamer.method_specs()
+    assert specs["structure"]["out_channels"] == cfg.zs_channels
+    assert specs["decode"]["in_ratio"] == cfg.autoencoder.ratio
