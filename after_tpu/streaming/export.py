@@ -1,0 +1,134 @@
+"""AOT export of the streaming graph — the TorchScript-export replacement.
+
+Reference: nn_tilde's `export_to_ts` (/root/reference/after_scripts/
+export.py:518) compiles the Streamer into a .ts artifact that the nn~ C++
+external executes buffer-by-buffer.
+
+Here each streaming method is lowered with `jax.export` (StableHLO) into a
+portable artifact directory:
+
+    <out>/
+      manifest.json            methods, chunk/ratio metadata, config
+      <method>.stablehlo       serialized jax.export artifact
+      state/                   initial StreamState arrays (.npz) + treedef
+
+Weights are baked into the artifacts as constants (like .ts); only the
+explicit stream state and audio buffers cross the host boundary.  A PJRT C
+API host (native/) can load and execute these per audio buffer; Python hosts
+use `load_exported` below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from ..config import to_json
+from .streamer import Streamer, StreamState
+
+
+def _flatten_state(state: StreamState):
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    return leaves, treedef
+
+
+def export_streamer(streamer: Streamer, variables: Dict[str, Any],
+                    out_dir: str, nb_steps: int = 1,
+                    guidance_timbre: float = 1.0,
+                    guidance_structure: float = 1.0,
+                    batch_size: int = 1) -> str:
+    """Serialize the streaming methods to `out_dir`."""
+    os.makedirs(out_dir, exist_ok=True)
+    state = streamer.init_state(variables, batch_size)
+    leaves, treedef = _flatten_state(state)
+
+    A = streamer.audio_chunk
+    T = streamer.chunk_size
+    cfg = streamer.cfg
+    audio_in = jnp.zeros((batch_size, A, 1), jnp.float32)
+    zs_in = jnp.zeros((batch_size, T, cfg.zs_channels), jnp.float32)
+    zt_in = jnp.zeros((batch_size, cfg.zt_channels), jnp.float32)
+    lat_in = jnp.zeros((batch_size, T, cfg.denoiser.n_channels), jnp.float32)
+    rng_in = jnp.zeros((2,), jnp.uint32)
+
+    def pack(f):
+        """(state_leaves..., x) closure threading the flat state."""
+        def g(leaves, *xs):
+            st = jax.tree_util.tree_unflatten(treedef, leaves)
+            y, st2 = f(st, *xs)
+            return y, jax.tree_util.tree_flatten(st2)[0]
+        return g
+
+    methods = {
+        "structure": (pack(lambda st, x: streamer.structure(
+            variables, st, x)), (audio_in,)),
+        "timbre": (pack(lambda st, x: streamer.timbre(
+            variables, st, x)), (audio_in,)),
+        "diffuse": (pack(lambda st, zs, zt, rng: streamer.diffuse(
+            variables, st, zs, zt, nb_steps, guidance_timbre,
+            guidance_structure,
+            rng=jax.random.wrap_key_data(rng))), (zs_in, zt_in, rng_in)),
+        "decode": (pack(lambda st, z: streamer.decode(
+            variables, st, z)), (lat_in,)),
+    }
+
+    for name, (fn, xs) in methods.items():
+        exp = jexport.export(jax.jit(fn))(leaves, *xs)
+        with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+
+    # initial state + treedef layout
+    sdir = os.path.join(out_dir, "state")
+    os.makedirs(sdir, exist_ok=True)
+    np.savez(os.path.join(sdir, "initial_state.npz"),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    manifest = {
+        "format_version": 1,
+        "methods": streamer.method_specs(),
+        "chunk_size": T,
+        "audio_chunk": A,
+        "ratio": streamer.ratio,
+        "sr": cfg.sr,
+        "nb_steps": nb_steps,
+        "n_state_leaves": len(leaves),
+        "state_shapes": [list(np.shape(l)) for l in leaves],
+        "state_dtypes": [str(np.asarray(l).dtype) for l in leaves],
+        "config": json.loads(to_json(cfg)),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return out_dir
+
+
+class ExportedStreamer:
+    """Python host for an exported artifact (mirrors what the C++ PJRT host
+    does): holds flat state, calls the deserialized methods per buffer."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self._methods = {}
+        for name in self.manifest["methods"]:
+            p = os.path.join(path, f"{name}.stablehlo")
+            if os.path.exists(p):
+                self._methods[name] = jexport.deserialize(
+                    open(p, "rb").read())
+        z = np.load(os.path.join(path, "state", "initial_state.npz"))
+        self.state = [jnp.asarray(z[f"leaf_{i}"])
+                      for i in range(self.manifest["n_state_leaves"])]
+
+    def call(self, name: str, *xs):
+        y, new_state = self._methods[name].call(self.state, *xs)
+        self.state = list(new_state)
+        return y
+
+    def reset(self, path: str):
+        z = np.load(os.path.join(path, "state", "initial_state.npz"))
+        self.state = [jnp.asarray(z[f"leaf_{i}"])
+                      for i in range(self.manifest["n_state_leaves"])]
