@@ -82,12 +82,26 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
         exp = jexport.export(jax.jit(fn))(leaves, *xs)
         with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
             f.write(exp.serialize())
+        # raw StableHLO bytecode for the native PJRT host
+        # (native/stream_host.cc compiles this via PJRT_Client_Compile)
+        with open(os.path.join(out_dir, f"{name}.mlir.bc"), "wb") as f:
+            f.write(exp.mlir_module_serialized)
+
+    # serialized CompileOptionsProto for the native host
+    try:
+        from jax._src.lib import _jax as _jaxlib
+        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+            f.write(_jaxlib.CompileOptions().SerializeAsString())
+    except Exception:
+        pass
 
     # initial state + treedef layout
     sdir = os.path.join(out_dir, "state")
     os.makedirs(sdir, exist_ok=True)
     np.savez(os.path.join(sdir, "initial_state.npz"),
              **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    for i, l in enumerate(leaves):
+        np.asarray(l).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
     manifest = {
         "format_version": 1,
         "methods": streamer.method_specs(),

@@ -13,11 +13,23 @@ measured against the 50x north-star target (BASELINE.md).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: first-ever run pays ~5 min of XLA compiles
+# (large conv graphs); subsequent runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -41,8 +53,11 @@ def main():
     a_timbre = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
 
     # warmup / compile
+    log("bench: compiling transfer graph...")
+    t0 = time.perf_counter()
     out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)
     jax.block_until_ready(out)
+    log(f"bench: compile+first run {time.perf_counter() - t0:.1f}s")
 
     n_iters = 5
     t0 = time.perf_counter()

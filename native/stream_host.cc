@@ -1,0 +1,471 @@
+// Native streaming host: executes an exported after_tpu streaming artifact
+// (StableHLO methods + explicit stream state) buffer-by-buffer through the
+// PJRT C API — the TPU-native equivalent of the reference's nn~ C++ external
+// (nn_tilde), which runs the exported TorchScript graph from the audio
+// thread (/root/reference/after_scripts/export.py + SURVEY §2.2).
+//
+// Usage:
+//   stream_host <artifact_dir> <pjrt_plugin.so> <structure.wav> <timbre.wav>
+//               <out.wav> [n_chunks]
+//
+// The artifact layout is produced by after_tpu/streaming/export.py:
+//   manifest.json                  chunk/ratio metadata + state shapes/dtypes
+//   <method>.mlir.bc               StableHLO bytecode per method
+//   compile_options.pb             serialized xla CompileOptionsProto
+//   state/leaf_<i>.bin             raw initial state arrays
+//
+// Each method's calling convention is (state_leaves..., inputs...) ->
+// (output, state_leaves...): the host owns the state as a rotating list of
+// device buffers, so steady-state streaming never copies weights or state
+// through the host — only one audio buffer in and one out per chunk.
+//
+// Build (see native/build.sh):
+//   g++ -O2 -std=c++17 -I$TF_INCLUDE -o stream_host stream_host.cc -ldl
+
+#include <cassert>
+#include <cstdint>
+#include <cstring>
+#include <dlfcn.h>
+#include <fstream>
+#include <iostream>
+#include <memory>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "tensorflow/compiler/xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// small utilities
+// ---------------------------------------------------------------------------
+
+std::string ReadFile(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    std::cerr << "cannot open " << path << "\n";
+    exit(1);
+  }
+  std::stringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+bool FileExists(const std::string& path) {
+  std::ifstream f(path);
+  return f.good();
+}
+
+// Minimal JSON value extraction (the manifest is machine-written).
+int64_t JsonInt(const std::string& j, const std::string& key, int64_t dflt) {
+  auto pos = j.find("\"" + key + "\"");
+  if (pos == std::string::npos) return dflt;
+  pos = j.find(':', pos);
+  return std::strtoll(j.c_str() + pos + 1, nullptr, 10);
+}
+
+// Parse "state_shapes": [[..],[..]] and "state_dtypes": ["float32",...]
+std::vector<std::vector<int64_t>> JsonShapeList(const std::string& j,
+                                                const std::string& key) {
+  std::vector<std::vector<int64_t>> out;
+  auto pos = j.find("\"" + key + "\"");
+  if (pos == std::string::npos) return out;
+  pos = j.find('[', pos);
+  size_t depth = 1;
+  size_t i = pos + 1;
+  std::vector<int64_t> cur;
+  std::string num;
+  bool in_inner = false;
+  for (; i < j.size() && depth > 0; ++i) {
+    char c = j[i];
+    if (c == '[') {
+      depth++;
+      in_inner = true;
+      cur.clear();
+    } else if (c == ']' || c == ',') {
+      if (!num.empty()) {
+        cur.push_back(std::strtoll(num.c_str(), nullptr, 10));
+        num.clear();
+      }
+      if (c == ']') {
+        depth--;
+        if (in_inner && depth >= 1) {
+          out.push_back(cur);
+          in_inner = false;
+        }
+      }
+    } else if ((c >= '0' && c <= '9') || c == '-') {
+      num += c;
+    }
+  }
+  return out;
+}
+
+std::vector<std::string> JsonStringList(const std::string& j,
+                                        const std::string& key) {
+  std::vector<std::string> out;
+  auto pos = j.find("\"" + key + "\"");
+  if (pos == std::string::npos) return out;
+  pos = j.find('[', pos);
+  auto end = j.find(']', pos);
+  size_t i = pos;
+  while (true) {
+    auto q1 = j.find('"', i + 1);
+    if (q1 == std::string::npos || q1 > end) break;
+    auto q2 = j.find('"', q1 + 1);
+    out.push_back(j.substr(q1 + 1, q2 - q1 - 1));
+    i = q2;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// WAV IO (PCM16 mono)
+// ---------------------------------------------------------------------------
+
+struct Wav {
+  int sr = 44100;
+  std::vector<float> samples;
+};
+
+Wav ReadWav(const std::string& path) {
+  std::string d = ReadFile(path);
+  Wav w;
+  if (d.size() < 44 || std::memcmp(d.data(), "RIFF", 4) != 0) {
+    std::cerr << "bad wav " << path << "\n";
+    exit(1);
+  }
+  uint16_t channels, bits;
+  uint32_t sr;
+  std::memcpy(&channels, d.data() + 22, 2);
+  std::memcpy(&sr, d.data() + 24, 4);
+  std::memcpy(&bits, d.data() + 34, 2);
+  w.sr = sr;
+  // find data chunk
+  size_t pos = 12;
+  while (pos + 8 < d.size()) {
+    uint32_t len;
+    std::memcpy(&len, d.data() + pos + 4, 4);
+    if (std::memcmp(d.data() + pos, "data", 4) == 0) {
+      const char* p = d.data() + pos + 8;
+      size_t n = len / (bits / 8) / channels;
+      w.samples.resize(n);
+      for (size_t i = 0; i < n; ++i) {
+        if (bits == 16) {
+          int16_t v;
+          std::memcpy(&v, p + (i * channels) * 2, 2);
+          w.samples[i] = v / 32768.0f;
+        } else if (bits == 32) {
+          float v;
+          std::memcpy(&v, p + (i * channels) * 4, 4);
+          w.samples[i] = v;
+        }
+      }
+      return w;
+    }
+    pos += 8 + len + (len & 1);
+  }
+  std::cerr << "no data chunk in " << path << "\n";
+  exit(1);
+}
+
+void WriteWav(const std::string& path, const std::vector<float>& x, int sr) {
+  std::ofstream f(path, std::ios::binary);
+  uint32_t data_len = x.size() * 2;
+  uint32_t riff_len = 36 + data_len;
+  uint16_t fmt16 = 16, pcm = 1, ch = 1, bits = 16;
+  uint32_t byte_rate = sr * 2;
+  uint16_t block = 2;
+  f.write("RIFF", 4);
+  f.write(reinterpret_cast<char*>(&riff_len), 4);
+  f.write("WAVEfmt ", 8);
+  f.write(reinterpret_cast<char*>(&fmt16), 4);
+  uint32_t fmt_len = 16;
+  f.seekp(16);
+  f.write(reinterpret_cast<char*>(&fmt_len), 4);
+  f.write(reinterpret_cast<char*>(&pcm), 2);
+  f.write(reinterpret_cast<char*>(&ch), 2);
+  f.write(reinterpret_cast<char*>(&sr), 4);
+  f.write(reinterpret_cast<char*>(&byte_rate), 4);
+  f.write(reinterpret_cast<char*>(&block), 2);
+  f.write(reinterpret_cast<char*>(&bits), 2);
+  f.write("data", 4);
+  f.write(reinterpret_cast<char*>(&data_len), 4);
+  for (float v : x) {
+    float c = v < -1 ? -1 : (v > 1 ? 1 : v);
+    int16_t s = static_cast<int16_t>(c * 32767.0f);
+    f.write(reinterpret_cast<char*>(&s), 2);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PJRT wrapper
+// ---------------------------------------------------------------------------
+
+class PjrtHost {
+ public:
+  explicit PjrtHost(const std::string& plugin_path) {
+    void* lib = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) {
+      std::cerr << "dlopen failed: " << dlerror() << "\n";
+      exit(1);
+    }
+    auto get_api = reinterpret_cast<const PJRT_Api* (*)()>(
+        dlsym(lib, "GetPjrtApi"));
+    if (!get_api) {
+      std::cerr << "GetPjrtApi not found in " << plugin_path << "\n";
+      exit(1);
+    }
+    api_ = get_api();
+
+    PJRT_Plugin_Initialize_Args init_args{
+        PJRT_Plugin_Initialize_Args_STRUCT_SIZE, nullptr};
+    Check(api_->PJRT_Plugin_Initialize(&init_args), "Plugin_Initialize");
+
+    PJRT_Client_Create_Args create{};
+    create.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    Check(api_->PJRT_Client_Create(&create), "Client_Create");
+    client_ = create.client;
+
+    PJRT_Client_AddressableDevices_Args dev{};
+    dev.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+    dev.client = client_;
+    Check(api_->PJRT_Client_AddressableDevices(&dev), "AddressableDevices");
+    device_ = dev.addressable_devices[0];
+  }
+
+  void Check(PJRT_Error* err, const char* what) {
+    if (err) {
+      PJRT_Error_Message_Args m{};
+      m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+      m.error = err;
+      api_->PJRT_Error_Message(&m);
+      std::cerr << what << " failed: "
+                << std::string(m.message, m.message_size) << "\n";
+      exit(1);
+    }
+  }
+
+  PJRT_LoadedExecutable* Compile(const std::string& mlir_bc,
+                                 const std::string& compile_options) {
+    PJRT_Program program{};
+    program.struct_size = PJRT_Program_STRUCT_SIZE;
+    program.code = const_cast<char*>(mlir_bc.data());
+    program.code_size = mlir_bc.size();
+    program.format = "mlir";
+    program.format_size = 4;
+
+    PJRT_Client_Compile_Args args{};
+    args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+    args.client = client_;
+    args.program = &program;
+    args.compile_options = compile_options.data();
+    args.compile_options_size = compile_options.size();
+    Check(api_->PJRT_Client_Compile(&args), "Compile");
+    return args.executable;
+  }
+
+  PJRT_Buffer* ToDevice(const void* data, PJRT_Buffer_Type type,
+                        const std::vector<int64_t>& dims) {
+    PJRT_Client_BufferFromHostBuffer_Args args{};
+    args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    args.client = client_;
+    args.data = data;
+    args.type = type;
+    args.dims = dims.data();
+    args.num_dims = dims.size();
+    args.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    args.device = device_;
+    Check(api_->PJRT_Client_BufferFromHostBuffer(&args), "FromHostBuffer");
+    AwaitAndDestroy(args.done_with_host_buffer);
+    return args.buffer;
+  }
+
+  void ToHost(PJRT_Buffer* buf, void* dst, size_t dst_size) {
+    PJRT_Buffer_ToHostBuffer_Args args{};
+    args.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    args.src = buf;
+    args.dst = dst;
+    args.dst_size = dst_size;
+    Check(api_->PJRT_Buffer_ToHostBuffer(&args), "ToHostBuffer");
+    AwaitAndDestroy(args.event);
+  }
+
+  void AwaitAndDestroy(PJRT_Event* event) {
+    if (!event) return;
+    PJRT_Event_Await_Args aw{};
+    aw.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+    aw.event = event;
+    Check(api_->PJRT_Event_Await(&aw), "Event_Await");
+    PJRT_Event_Destroy_Args de{};
+    de.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+    de.event = event;
+    api_->PJRT_Event_Destroy(&de);
+  }
+
+  // Executes with [1, num_args] inputs; returns the output buffer list.
+  std::vector<PJRT_Buffer*> Execute(PJRT_LoadedExecutable* exec,
+                                    const std::vector<PJRT_Buffer*>& args_in,
+                                    size_t num_outputs) {
+    PJRT_ExecuteOptions opts{};
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+    PJRT_Buffer* const* arg_list = args_in.data();
+    std::vector<PJRT_Buffer*> outputs(num_outputs, nullptr);
+    PJRT_Buffer** out_list = outputs.data();
+    PJRT_Event* done = nullptr;
+
+    PJRT_LoadedExecutable_Execute_Args ex{};
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &opts;
+    ex.argument_lists = &arg_list;
+    ex.num_devices = 1;
+    ex.num_args = args_in.size();
+    ex.output_lists = &out_list;
+    ex.device_complete_events = &done;
+    Check(api_->PJRT_LoadedExecutable_Execute(&ex), "Execute");
+    AwaitAndDestroy(done);
+    return outputs;
+  }
+
+  size_t NumOutputs(PJRT_LoadedExecutable* exec) {
+    PJRT_LoadedExecutable_GetExecutable_Args ge{};
+    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge.loaded_executable = exec;
+    Check(api_->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+    PJRT_Executable_NumOutputs_Args no{};
+    no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    no.executable = ge.executable;
+    Check(api_->PJRT_Executable_NumOutputs(&no), "NumOutputs");
+    return no.num_outputs;
+  }
+
+  void DestroyBuffer(PJRT_Buffer* b) {
+    if (!b) return;
+    PJRT_Buffer_Destroy_Args d{};
+    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    d.buffer = b;
+    api_->PJRT_Buffer_Destroy(&d);
+  }
+
+  const PJRT_Api* api_ = nullptr;
+  PJRT_Client* client_ = nullptr;
+  PJRT_Device* device_ = nullptr;
+};
+
+PJRT_Buffer_Type DtypeOf(const std::string& name) {
+  if (name == "float32") return PJRT_Buffer_Type_F32;
+  if (name == "int32") return PJRT_Buffer_Type_S32;
+  if (name == "uint32") return PJRT_Buffer_Type_U32;
+  if (name == "bfloat16") return PJRT_Buffer_Type_BF16;
+  std::cerr << "unsupported dtype " << name << "\n";
+  exit(1);
+}
+
+size_t DtypeSize(const std::string& name) { return 4; }
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 6) {
+    std::cerr << "usage: stream_host <artifact_dir> <pjrt_plugin.so> "
+                 "<structure.wav> <timbre.wav> <out.wav> [n_chunks]\n";
+    return 1;
+  }
+  std::string art = argv[1], plugin = argv[2];
+  Wav in_struct = ReadWav(argv[3]);
+  Wav in_timbre = ReadWav(argv[4]);
+  std::string out_path = argv[5];
+
+  std::string manifest = ReadFile(art + "/manifest.json");
+  int64_t audio_chunk = JsonInt(manifest, "audio_chunk", 8192);
+  int64_t chunk = JsonInt(manifest, "chunk_size", 4);
+  int64_t sr = JsonInt(manifest, "sr", 44100);
+  int64_t n_leaves = JsonInt(manifest, "n_state_leaves", 0);
+  auto shapes = JsonShapeList(manifest, "state_shapes");
+  auto dtypes = JsonStringList(manifest, "state_dtypes");
+  assert(static_cast<int64_t>(shapes.size()) == n_leaves);
+
+  int64_t n_chunks = std::min(in_struct.samples.size(),
+                              in_timbre.samples.size()) / audio_chunk;
+  if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
+
+  PjrtHost host(plugin);
+  std::string copts = FileExists(art + "/compile_options.pb")
+                          ? ReadFile(art + "/compile_options.pb")
+                          : std::string();
+
+  auto compile_method = [&](const std::string& name) {
+    return host.Compile(ReadFile(art + "/" + name + ".mlir.bc"), copts);
+  };
+  std::cerr << "[stream_host] compiling methods...\n";
+  PJRT_LoadedExecutable* m_structure = compile_method("structure");
+  PJRT_LoadedExecutable* m_timbre = compile_method("timbre");
+  PJRT_LoadedExecutable* m_diffuse = compile_method("diffuse");
+  PJRT_LoadedExecutable* m_decode = compile_method("decode");
+
+  // initial state -> device buffers
+  std::vector<PJRT_Buffer*> state(n_leaves);
+  std::vector<std::string> leaf_data(n_leaves);
+  for (int64_t i = 0; i < n_leaves; ++i) {
+    leaf_data[i] = ReadFile(art + "/state/leaf_" + std::to_string(i) + ".bin");
+    state[i] = host.ToDevice(leaf_data[i].data(), DtypeOf(dtypes[i]),
+                             shapes[i]);
+  }
+
+  std::vector<float> out_all;
+  std::vector<float> buf_s(audio_chunk), buf_t(audio_chunk);
+  std::vector<int64_t> audio_dims{1, audio_chunk, 1};
+  uint32_t rng_data[2] = {0, 42};
+  std::vector<int64_t> rng_dims{2};
+
+  std::cerr << "[stream_host] streaming " << n_chunks << " chunks of "
+            << audio_chunk << " samples\n";
+
+  auto run_state_method = [&](PJRT_LoadedExecutable* exec,
+                              std::vector<PJRT_Buffer*> extra)
+      -> PJRT_Buffer* {
+    std::vector<PJRT_Buffer*> args(state);
+    for (auto* b : extra) args.push_back(b);
+    size_t nout = host.NumOutputs(exec);
+    auto outs = host.Execute(exec, args, nout);
+    // convention: output 0 is y, outputs 1..n_leaves are the new state
+    for (int64_t i = 0; i < n_leaves; ++i) {
+      host.DestroyBuffer(state[i]);
+      state[i] = outs[1 + i];
+    }
+    for (auto* b : extra) host.DestroyBuffer(b);
+    return outs[0];
+  };
+
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    std::memcpy(buf_s.data(), in_struct.samples.data() + c * audio_chunk,
+                audio_chunk * 4);
+    std::memcpy(buf_t.data(), in_timbre.samples.data() + c * audio_chunk,
+                audio_chunk * 4);
+    PJRT_Buffer* zs = run_state_method(
+        m_structure, {host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32,
+                                    audio_dims)});
+    PJRT_Buffer* zt = run_state_method(
+        m_timbre, {host.ToDevice(buf_t.data(), PJRT_Buffer_Type_F32,
+                                 audio_dims)});
+    rng_data[0] = static_cast<uint32_t>(c + 1);
+    PJRT_Buffer* rng = host.ToDevice(rng_data, PJRT_Buffer_Type_U32,
+                                     rng_dims);
+    PJRT_Buffer* z = run_state_method(m_diffuse, {zs, zt, rng});
+    PJRT_Buffer* y = run_state_method(m_decode, {z});
+
+    std::vector<float> out(audio_chunk);
+    host.ToHost(y, out.data(), out.size() * 4);
+    host.DestroyBuffer(y);
+    out_all.insert(out_all.end(), out.begin(), out.end());
+  }
+
+  WriteWav(out_path, out_all, sr);
+  std::cerr << "[stream_host] wrote " << out_all.size() << " samples -> "
+            << out_path << "\n";
+  return 0;
+}

@@ -103,3 +103,17 @@ def test_wav_io(tmp_path):
     z = normalize_signal(0.01 * x)
     # gain capped at +30 dB: 0.005 peak -> ~0.158
     assert 0.1 < np.abs(z).max() <= 1.0
+
+
+def test_native_store_matches_python(tmp_path):
+    from after_tpu.dataset.native_store import NativeRecordReader, build_native
+    if build_native() is None:
+        pytest.skip("g++ unavailable")
+    _write_store(tmp_path / "db", n=12)
+    py = RecordReader(str(tmp_path / "db"))
+    nat = NativeRecordReader(str(tmp_path / "db"))
+    assert len(nat) == len(py) == 12
+    assert nat.keys() == py.keys()
+    for k in py.keys():
+        assert nat.get(k) == py.get(k)
+    nat.close()
