@@ -189,6 +189,7 @@ class CodecDecoder(nn.Module):
                                 self.streaming, name=f"up_{i}")(h)
 
         to_out_c = out_c * 2 if cfg.use_loudness else out_c
+        feats = h
         h = ResnetBlock1d(to_out_c, cfg.kernel_size, 1, cfg.resnet_groups,
                           cfg.use_norm, False, mode, self.streaming,
                           name="to_out")(h)
@@ -196,6 +197,13 @@ class CodecDecoder(nn.Module):
         if cfg.use_loudness:
             y, amp = jnp.split(h, 2, axis=-1)
             h = y * nn.sigmoid(amp)
+
+        if cfg.use_noise:
+            rng = self.make_rng("noise") if self.has_rng("noise") else \
+                jax.random.PRNGKey(0)
+            h = h + NoiseGenerator(out_c, mode=mode,
+                                   streaming=self.streaming,
+                                   name="noise")(feats, rng)
         return h
 
 
@@ -208,6 +216,68 @@ def decoder_band_delay(cfg: AutoEncoderConfig) -> int:
     for f in cfg.factors[::-1]:
         d = d * f + f // 2
     return d
+
+
+def mod_sigmoid(x):
+    """core.py:7: 2*sigmoid(x)^2.3 + 1e-7."""
+    return 2 * jnp.power(nn.sigmoid(x), 2.3) + 1e-7
+
+
+def amp_to_impulse_response(amp: jnp.ndarray, target_size: int) -> jnp.ndarray:
+    """Frequency amplitudes -> windowed impulse response on the last axis
+    (SimpleNetsStream.py:462-483)."""
+    ir = jnp.fft.irfft(amp.astype(jnp.complex64), axis=-1)
+    filter_size = ir.shape[-1]
+    ir = jnp.roll(ir, filter_size // 2, axis=-1)
+    win = jnp.hanning(filter_size)
+    ir = ir * win
+    ir = jnp.pad(ir, [(0, 0)] * (ir.ndim - 1) + [(0, target_size - filter_size)])
+    return jnp.roll(ir, -filter_size // 2, axis=-1)
+
+
+def fft_convolve(signal: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Circular-safe FFT convolution on the last axis (SimpleNetsStream.py:486)."""
+    n = signal.shape[-1]
+    signal = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(0, n)])
+    kernel = jnp.pad(kernel, [(0, 0)] * (kernel.ndim - 1) + [(n, 0)])
+    out = jnp.fft.irfft(jnp.fft.rfft(signal) * jnp.fft.rfft(kernel))
+    return out[..., out.shape[-1] // 2:]
+
+
+class NoiseGenerator(nn.Module):
+    """Filtered-noise synthesis branch for the decoder
+    (SimpleNetsStream.py:499-549): conv stack predicts per-block noise-band
+    amplitudes; noise is shaped by the derived impulse responses."""
+
+    data_size: int
+    ratios: Sequence[int] = (2, 2, 2)
+    noise_bands: int = 5
+    hidden_size: int = 128
+    mode: str = "centered"
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x, rng):
+        channels = [self.hidden_size] * (len(self.ratios) - 1)
+        channels.append(self.data_size * self.noise_bands)
+        h = x
+        for i, r in enumerate(self.ratios):
+            h = StreamConv1d(channels[i], 3, stride=r, mode=self.mode,
+                             streaming=self.streaming, name=f"conv_{i}")(h)
+            if i != len(self.ratios) - 1:
+                h = nn.leaky_relu(h, 0.2)
+        amp = mod_sigmoid(h - 5.0)                       # (B, T/8, data*bands)
+        B, Tq, _ = amp.shape
+        target = 1
+        for r in self.ratios:
+            target *= r
+        amp = amp.reshape(B, Tq, self.data_size, self.noise_bands)
+        ir = amp_to_impulse_response(amp, target)
+        noise = jax.random.uniform(rng, ir.shape, minval=-1.0, maxval=1.0)
+        noise = fft_convolve(noise, ir)                  # (B, Tq, data, target)
+        noise = noise.transpose(0, 1, 3, 2).reshape(B, Tq * target,
+                                                    self.data_size)
+        return noise
 
 
 def relu_bottleneck_reg(z: jnp.ndarray, scale: float = 3.0) -> jnp.ndarray:

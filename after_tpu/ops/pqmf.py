@@ -93,18 +93,18 @@ class PQMF:
         # Analysis polyphase kernel.  Reference: hk 'c (t m) -> c m t' then
         # torch conv (out=M, in=M, K).  Our WIO layout: (K, in=M, out=M).
         ana = hk.reshape(M, L // M, M)       # (band, tap, phase)
-        self._ana_kernel = jnp.asarray(np.transpose(ana, (1, 2, 0)))  # (K, M_in=phase, M_out=band)
+        self._ana_kernel = np.ascontiguousarray(np.transpose(ana, (1, 2, 0)))  # (K, M_in=phase, M_out=band)
         # Synthesis kernel.  Reference: flip taps, 'c (t m) -> m c t'
         # -> torch conv (out=M=phase, in=M=band, K).
         hki = hk[:, ::-1].reshape(M, L // M, M)   # (band, tap, phase)
         syn = np.transpose(hki, (1, 0, 2))        # (K, in=band, out=phase)
-        self._syn_kernel = jnp.asarray(syn)
+        self._syn_kernel = np.ascontiguousarray(syn)
 
         # sign mask applied after analysis / before synthesis
         # (reference reverse_half, pqmf.py:16: bands odd, time even -> -1)
         mask = np.ones((2, M), dtype=np.float32)  # (time parity, band)
         mask[0, 1::2] = -1.0
-        self._mask2 = jnp.asarray(mask)
+        self._mask2 = mask
 
     def _apply_mask(self, x: jnp.ndarray, parity: int = 0) -> jnp.ndarray:
         """reverse_half sign mask; `parity` shifts the period-2 time pattern.

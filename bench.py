@@ -46,7 +46,12 @@ def main():
     cfg = cfg.resolved(in_size=cfg.autoencoder.z_channels, n_signal=n_signal)
 
     pipe = TransferPipeline(cfg)
-    variables = pipe.init(jax.random.PRNGKey(0), batch_size=1)
+    log("bench: initializing params (jitted)...")
+    t0 = time.perf_counter()
+    # jit the whole init: eager init would issue one XLA compile per op
+    variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)
+    jax.block_until_ready(variables)
+    log(f"bench: init {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.RandomState(0)
     a_struct = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
@@ -59,7 +64,7 @@ def main():
     jax.block_until_ready(out)
     log(f"bench: compile+first run {time.perf_counter() - t0:.1f}s")
 
-    n_iters = 5
+    n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)

@@ -135,3 +135,51 @@ def test_codec_roundtrip_shapes():
     assert ze.shape == z.shape
     yd = codec.apply(variables, z, method=AudioCodec.decode)
     assert yd.shape == y.shape
+
+
+def test_denoiser_v1_variants():
+    from after_tpu.models import DenoiserV1, DenoiserV1Config
+    base = dataclasses.replace(SMALL_DN)
+    for mode, tnoise in [("cross_attention", False), ("adaln", False),
+                         ("cross_attention", True)]:
+        cfg = DenoiserV1Config(base=base, tcond_mode=mode,
+                               temporal_noise=tnoise)
+        dn = DenoiserV1(cfg)
+        x = jnp.zeros((2, 32, 8))
+        t = jnp.full((2,), 0.3)
+        cond = jnp.zeros((2, 6))
+        tcond = jnp.zeros((2, 32, 12))
+        params = dn.init(jax.random.PRNGKey(0), x, t, cond, tcond)
+        y = dn.apply(params, x, t, cond, tcond)
+        assert y.shape == x.shape
+
+
+def test_unet1d():
+    from after_tpu.models import UNet1D, UNet1DConfig
+    cfg = UNet1DConfig(in_size=8, channels=(16, 16), ratios=(2, 2),
+                       time_cond_in_channels=12, cond_channels=6)
+    net = UNet1D(cfg)
+    x = jnp.zeros((2, 32, 8))
+    t = jnp.full((2,), 0.3)
+    cond = jnp.zeros((2, 6))
+    tcond = jnp.zeros((2, 32, 12))
+    params = net.init(jax.random.PRNGKey(0), x, t, cond, tcond)
+    y = net.apply(params, x, t, cond, tcond)
+    assert y.shape == x.shape
+
+
+def test_fsq():
+    from after_tpu.ops.fsq import FSQ
+    fsq = FSQ(levels=(8, 5, 5, 5))
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 4)) * 2
+    q = fsq.quantize(z)
+    assert q.shape == z.shape
+    assert np.abs(np.asarray(q)).max() <= 1.0
+    idx = fsq.codes_to_indices(q)
+    assert idx.shape == (2, 16)
+    assert int(idx.max()) < fsq.codebook_size
+    rec = fsq.indices_to_codes(idx)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(q), atol=1e-5)
+    # straight-through gradient flows
+    g = jax.grad(lambda z_: jnp.sum(fsq.quantize(z_)))(z)
+    assert float(jnp.abs(g).sum()) > 0
