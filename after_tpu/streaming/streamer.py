@@ -181,13 +181,48 @@ class Streamer:
                 guidance_structure: float = 1.0,
                 rng: Optional[jax.Array] = None
                 ) -> Tuple[jnp.ndarray, StreamState]:
-        """Full audio->audio streaming step (export.py:486-493)."""
+        """Full audio->audio streaming step (export.py:486-493), fused into a
+        single compiled graph per buffer (one dispatch per audio callback —
+        the reference crosses C++<->TorchScript once per buffer too, but runs
+        a Python-level op graph inside)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._forward_jit(variables, state, audio_structure,
+                                 audio_timbre, nb_steps, guidance_timbre,
+                                 guidance_structure, rng)
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _forward_jit(self, variables, state, audio_structure, audio_timbre,
+                     nb_steps, guidance_timbre, guidance_structure, rng):
         zs, state = self.structure(variables, state, audio_structure)
         zt, state = self.timbre(variables, state, audio_timbre)
         z, state = self.diffuse(variables, state, zs, zt, nb_steps,
                                 guidance_timbre, guidance_structure, rng=rng)
         audio, state = self.decode(variables, state, z)
         return audio, state
+
+    # -- MIDI-to-audio streaming (reference export_midi.py:150-476) -------
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def diffuse_midi(self, variables, state: StreamState,
+                     notes: jnp.ndarray, zsem: jnp.ndarray,
+                     nb_steps: int = 1, guidance_timbre: float = 1.0,
+                     guidance_structure: float = 1.0,
+                     rng: Optional[jax.Array] = None
+                     ) -> Tuple[jnp.ndarray, StreamState]:
+        """Polyphonic MIDI streaming step: `notes` is (B, chunk, n_poly, 2)
+        [(pitch, velocity) pairs per frame]; builds the 128-bin piano roll
+        (export_midi.py:401-417) and denoises with it as structure."""
+        B, T, n_poly, _ = notes.shape
+        pitch = jnp.clip(notes[..., 0].astype(jnp.int32), 0, 127)
+        vel = notes[..., 1] / 127.0
+        roll = jnp.zeros((B, T, 128))
+        roll = roll.at[
+            jnp.arange(B)[:, None, None],
+            jnp.arange(T)[None, :, None],
+            pitch].max(vel)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self.diffuse(variables, state, roll, zsem, nb_steps,
+                            guidance_timbre, guidance_structure, rng=rng)
 
     # ------------------------------------------------------------------
 

@@ -113,3 +113,27 @@ def test_streamer_specs():
     specs = streamer.method_specs()
     assert specs["structure"]["out_channels"] == cfg.zs_channels
     assert specs["decode"]["in_ratio"] == cfg.autoencoder.ratio
+
+
+def test_streamer_midi_diffuse():
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {
+        "autoencoder.causal": True,
+        "autoencoder.use_norm": False,
+        "zs_channels": 128,
+        "denoiser.tcond_dim": 128,
+    })
+    cfg = dataclasses.replace(cfg, encoder_time=None, classifier=None)
+    streamer = Streamer(cfg, chunk_size=4)
+    from after_tpu.diffusion import TransferPipeline
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    state = streamer.init_state(variables, 1)
+    notes = np.zeros((1, 4, 8, 2), np.float32)
+    notes[0, :, 0] = [60, 100]
+    notes[0, :, 1] = [64, 80]
+    zt = np.zeros((1, cfg.zt_channels), np.float32)
+    z, state = streamer.diffuse_midi(variables, state, jnp.asarray(notes),
+                                     jnp.asarray(zt), 2)
+    assert z.shape == (1, 4, cfg.denoiser.n_channels)
+    assert np.isfinite(np.asarray(z)).all()
