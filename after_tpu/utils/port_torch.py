@@ -1,0 +1,219 @@
+"""Port PyTorch reference checkpoints into after_tpu parameter pytrees.
+
+Enables the numeric-parity path (BASELINE.md: codec latents / denoiser
+outputs / final audio < 1e-3 MSE vs the reference): load a reference
+`checkpoint*_EMA.pt` (diffusion) or AE `checkpoint*.pt` state_dict with
+torch (CPU) and remap tensors into our layout.
+
+Conventions handled:
+- torch Conv1d weight (out, in, k)            -> ours (k, in, out)
+- torch ConvTranspose1d weight (in, out, k)   -> ours (k, in, out)
+- torch Linear weight (out, in)               -> ours (in, out)
+- torch weight_norm pairs weight_g/weight_v   -> our ("g", "kernel"):
+  g per-out-channel magnitudes, kernel = v (we renormalise at apply time,
+  so storing v with g matches torch exactly)
+- BatchNorm running stats                     -> flax batch_stats (mean/var)
+- torch GroupNorm/LayerNorm weight/bias       -> flax scale/bias
+
+The name mapping is mechanical per sub-network because both trees were built
+with the same topological structure; see `map_denoiser_v2` etc. for the
+explicit correspondences (cited to the reference modules).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    import torch
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def conv_kernel(w) -> np.ndarray:
+    """torch (out, in, k) -> (k, in, out)."""
+    return _t(w).transpose(2, 1, 0)
+
+
+def conv_transpose_kernel(w) -> np.ndarray:
+    """torch (in, out, k) -> (k, in, out)."""
+    return _t(w).transpose(2, 0, 1)
+
+
+def linear_kernel(w) -> np.ndarray:
+    """torch (out, in) -> (in, out)."""
+    return _t(w).transpose(1, 0)
+
+
+def wn_conv(prefix: str, sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """weight-normed torch conv -> {"kernel": v, "g": g} in our layout.
+
+    torch stores weight_v (out,in,k) and weight_g (out,1,1); our apply
+    recomputes w = g * v/||v|| identically (ops/conv.py).
+    """
+    out = {}
+    if prefix + ".weight_v" in sd:
+        out["kernel"] = conv_kernel(sd[prefix + ".weight_v"])
+        out["g"] = _t(sd[prefix + ".weight_g"]).reshape(-1)
+    elif prefix + ".parametrizations.weight.original1" in sd:
+        out["kernel"] = conv_kernel(
+            sd[prefix + ".parametrizations.weight.original1"])
+        out["g"] = _t(
+            sd[prefix + ".parametrizations.weight.original0"]).reshape(-1)
+    else:
+        out["kernel"] = conv_kernel(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def wn_conv_transpose(prefix: str, sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    if prefix + ".weight_v" in sd:
+        out["kernel"] = conv_transpose_kernel(sd[prefix + ".weight_v"])
+        out["g"] = _t(sd[prefix + ".weight_g"]).reshape(-1)
+    elif prefix + ".parametrizations.weight.original1" in sd:
+        out["kernel"] = conv_transpose_kernel(
+            sd[prefix + ".parametrizations.weight.original1"])
+        out["g"] = _t(
+            sd[prefix + ".parametrizations.weight.original0"]).reshape(-1)
+    else:
+        out["kernel"] = conv_transpose_kernel(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def dense(prefix: str, sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """torch Linear OR 1x1 Conv1d -> flax Dense params."""
+    w = _t(sd[prefix + ".weight"])
+    if w.ndim == 3:          # (out, in, 1) conv1d used as a linear layer
+        w = w[:, :, 0]
+    out = {"kernel": w.transpose(1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def layer_norm(prefix: str, sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    if prefix + ".weight" in sd:
+        out["scale"] = _t(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def batch_norm(prefix: str, sd: Dict[str, Any]):
+    """-> (params {scale,bias}, stats {mean,var})."""
+    params = {"scale": _t(sd[prefix + ".weight"]),
+              "bias": _t(sd[prefix + ".bias"])}
+    stats = {"mean": _t(sd[prefix + ".running_mean"]),
+             "var": _t(sd[prefix + ".running_var"])}
+    return params, stats
+
+
+def snake(prefix: str, sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    return {"alpha": _t(sd[prefix + ".alpha"]).reshape(-1),
+            "beta": _t(sd[prefix + ".beta"]).reshape(-1)}
+
+
+# ---------------------------------------------------------------------------
+# DenoiserV2 mapping (reference transformerv2.py:461 -> models/denoiser.py)
+# ---------------------------------------------------------------------------
+
+
+def map_denoiser_v2(sd: Dict[str, Any], n_layers: int,
+                    prefix: str = "net.") -> Dict[str, Any]:
+    """Reference DenoiserV2 state_dict -> our Denoiser params."""
+    p: Dict[str, Any] = {}
+    tb = prefix + "denoiser_trans_block."
+    # embedding MLP (transformerv2.py:488-492)
+    p["emb_dense1"] = dense(prefix + "embedding.0", sd)
+    p["emb_dense2"] = dense(prefix + "embedding.2", sd)
+    # patchify (transformerv2.py:387-391: Rearrange, Linear, GELU)
+    p["patchify"] = dense(tb + "patchify_and_embed.1", sd)
+    if tb + "patchify_and_embed_tcond.1.weight" in sd:
+        p["tcond_patchify"] = dense(tb + "patchify_and_embed_tcond.1", sd)
+    if tb + "pos_embed.weight" in sd:
+        p["pos_embed"] = _t(sd[tb + "pos_embed.weight"])
+    for i in range(n_layers):
+        b = tb + f"decoder_blocks.{i}."
+        blk: Dict[str, Any] = {
+            "attn": {"qkv": dense(b + "self_attention.qkv_linear", sd)},
+            "norm1": layer_norm(b + "norm1", sd),
+            "norm3": layer_norm(b + "norm3", sd),
+            "mlp": {"Dense_0": dense(b + "mlp.mlp.0", sd),
+                    "Dense_1": dense(b + "mlp.mlp.2", sd)},
+        }
+        if b + "linear.weight" in sd:
+            blk["cond_linear"] = dense(b + "linear", sd)
+        if b + "tcond_linear.weight" in sd:
+            blk["tcond_linear"] = dense(b + "tcond_linear", sd)
+        p[f"block_{i}"] = blk
+    p["out_proj"] = dense(tb + "out_proj.0", sd)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# ECAPA mapping (reference ecapa_encoder.py:459 -> models/ecapa.py)
+# ---------------------------------------------------------------------------
+
+
+def _tdnn(prefix: str, sd):
+    params = {"conv": {"Conv_0": {
+        "kernel": conv_kernel(sd[prefix + ".conv.conv.weight"]),
+        "bias": _t(sd[prefix + ".conv.conv.bias"])}}}
+    bn_p, bn_s = batch_norm(prefix + ".norm", sd)
+    params["bn"] = bn_p
+    return params, {"bn": bn_s}
+
+
+def map_ecapa(sd: Dict[str, Any], n_blocks: int, res2net_scale: int = 8,
+              prefix: str = "encoder.") -> Dict[str, Dict[str, Any]]:
+    """Reference ECAPATDNN state_dict -> {"params":..., "batch_stats":...}."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(name, pair):
+        params[name], stats[name] = pair
+
+    put("block_0", _tdnn(prefix + "blocks.0", sd))
+    for i in range(1, n_blocks - 1):
+        b = prefix + f"blocks.{i}."
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        bp["tdnn1"], bs["tdnn1"] = _tdnn(b + "tdnn1", sd)
+        bp["tdnn2"], bs["tdnn2"] = _tdnn(b + "tdnn2", sd)
+        r2p: Dict[str, Any] = {}
+        r2s: Dict[str, Any] = {}
+        for j in range(res2net_scale - 1):
+            r2p[f"tdnn_{j}"], r2s[f"tdnn_{j}"] = _tdnn(
+                b + f"res2net_block.blocks.{j}", sd)
+        bp["res2net"], bs["res2net"] = r2p, r2s
+        bp["se"] = {"conv1": dense(b + "se_block.conv1.conv", sd),
+                    "conv2": dense(b + "se_block.conv2.conv", sd)}
+        if b + "shortcut.conv.weight" in sd:
+            bp["shortcut"] = dense(b + "shortcut.conv", sd)
+        params[f"block_{i}"], stats[f"block_{i}"] = bp, bs
+    put("mfa", _tdnn(prefix + "mfa", sd))
+    asp_p: Dict[str, Any] = {}
+    asp_s: Dict[str, Any] = {}
+    asp_p["tdnn"], asp_s["tdnn"] = _tdnn(prefix + "asp.tdnn", sd)
+    asp_p["conv"] = dense(prefix + "asp.conv.conv", sd)
+    params["asp"], stats["asp"] = asp_p, asp_s
+    bn_p, bn_s = batch_norm(prefix + "asp_bn", sd)
+    params["asp_bn"], stats["asp_bn"] = bn_p, bn_s
+    params["fc"] = dense(prefix + "fc.conv", sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load a reference checkpoint's model_state on CPU."""
+    import torch
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    return d.get("model_state", d)

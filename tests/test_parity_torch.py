@@ -1,0 +1,155 @@
+"""Numeric parity vs the PyTorch reference (BASELINE.md: outputs < 1e-3 MSE).
+
+Imports the reference modules from /root/reference at test time (read-only,
+with stubs for their unavailable deps), ports their randomly-initialised
+weights through after_tpu.utils.port_torch, and compares forward outputs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _install_stubs():
+    """Stub gin/torchaudio/cached_conv so reference modules import."""
+    if "gin" not in sys.modules:
+        gin = types.ModuleType("gin")
+
+        def configurable(fn=None, **kw):
+            if fn is None:
+                return lambda f: f
+            return fn
+
+        gin.configurable = configurable
+        gin.register = configurable
+        sys.modules["gin"] = gin
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        tr = types.ModuleType("torchaudio.transforms")
+
+        class _Mel:  # never constructed in these tests
+            def __init__(self, *a, **k):
+                pass
+
+        tr.MelSpectrogram = _Mel
+        tr.Spectrogram = _Mel
+        ta.transforms = tr
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = tr
+
+
+def _load_reference_module(name, path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_transformerv2():
+    _install_stubs()
+    _load_reference_module(
+        "ref_rotary",
+        "/root/reference/after/diffusion/networks/rotary_embedding.py")
+    # transformerv2 does a relative import of rotary_embedding; load it as a
+    # package-style module
+    import importlib.util
+    path = "/root/reference/after/diffusion/networks/transformerv2.py"
+    src = open(path).read().replace(
+        "from .rotary_embedding import RotaryEmbedding",
+        "from ref_rotary import RotaryEmbedding")
+    mod = types.ModuleType("ref_transformerv2")
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+def test_denoiser_v2_parity(ref_transformerv2):
+    """Reference DenoiserV2 forward == ported after_tpu Denoiser forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from after_tpu.config import DenoiserConfig
+    from after_tpu.models import Denoiser
+    from after_tpu.utils.port_torch import map_denoiser_v2
+
+    torch.manual_seed(0)
+    n_layers, n_ch, T, E = 2, 8, 32, 128
+    ref = ref_transformerv2.DenoiserV2(
+        n_channels=n_ch, seq_len=T, embed_dim=E, cond_dim=6, tcond_dim=12,
+        noise_embed_dims=32, n_layers=n_layers, mlp_multiplier=2,
+        dropout=0.0, causal=True, pos_emb_type="rotary",
+        local_attention_size=8, attention_chunk_size=4).eval()
+
+    sd = {("net." + k): v for k, v in ref.state_dict().items()}
+    params = map_denoiser_v2(sd, n_layers)
+
+    cfg = DenoiserConfig(n_channels=n_ch, seq_len=T, embed_dim=E, cond_dim=6,
+                         tcond_dim=12, noise_embed_dims=32, n_layers=n_layers,
+                         mlp_multiplier=2, dropout=0.0, causal=True,
+                         pos_emb_type="rotary", local_attention_size=8,
+                         attention_chunk_size=4)
+    mine = Denoiser(cfg)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, T, n_ch).astype(np.float32)
+    t = np.array([0.3, 0.7], np.float32)
+    cond = rng.randn(2, 6).astype(np.float32)
+    tcond = rng.randn(2, T, 12).astype(np.float32)
+
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x.transpose(0, 2, 1)),
+                    torch.from_numpy(t),
+                    torch.from_numpy(cond),
+                    torch.from_numpy(tcond.transpose(0, 2, 1)))
+    y_ref = y_ref.numpy().transpose(0, 2, 1)
+
+    y = mine.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
+                   jnp.asarray(cond), jnp.asarray(tcond))
+    y = np.asarray(y)
+    mse = float(np.mean((y - y_ref) ** 2))
+    assert mse < 1e-6, f"denoiser parity MSE {mse}"
+
+
+def test_ecapa_parity():
+    """Reference ECAPATDNN forward == ported after_tpu ECAPAEncoder."""
+    _install_stubs()
+    mod = _load_reference_module(
+        "ref_ecapa",
+        "/root/reference/after/diffusion/networks/ecapa_encoder.py")
+    import jax.numpy as jnp
+
+    from after_tpu.config import ECAPAConfig
+    from after_tpu.models import ECAPAEncoder
+    from after_tpu.utils.port_torch import map_ecapa
+
+    torch.manual_seed(0)
+    channels = [32, 32, 32, 64]
+    ref = mod.ECAPATDNN(in_size=8, out_dim=6, channels=channels,
+                        kernel_sizes=[3, 3, 3, 3], dilations=[1, 1, 1, 1],
+                        groups=[1, 1, 1, 1], res2net_scale=8, se_channels=16,
+                        attention_channels=16, global_context=True,
+                        pooling=True, use_tanh=False,
+                        spherical_normalisation=False,
+                        regularisation="ac").eval()
+    sd = {("encoder." + k): v for k, v in ref.state_dict().items()}
+    variables = map_ecapa(sd, n_blocks=len(channels), res2net_scale=8)
+
+    cfg = ECAPAConfig(in_size=8, out_dim=6, channels=tuple(channels),
+                      se_channels=16, attention_channels=16)
+    mine = ECAPAEncoder(cfg)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 64, 8).astype(np.float32)
+    with torch.no_grad():
+        z_ref = ref(torch.from_numpy(x.transpose(0, 2, 1)))
+    z_ref = z_ref.numpy()
+
+    z, _, _ = mine.apply(variables, jnp.asarray(x))
+    mse = float(np.mean((np.asarray(z) - z_ref) ** 2))
+    assert mse < 1e-6, f"ecapa parity MSE {mse}"
