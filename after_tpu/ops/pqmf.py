@@ -149,7 +149,10 @@ class PQMF:
         y = y[:, :-1] * M
         y = y[:, :, ::-1]                            # band flip (reference x.flip(1))
         wav = y.reshape(B, -1, 1)                    # interleave phases
-        wav = wav[:, 2 * M:]                         # reference trims 2*M samples
+        # alignment matches the reference CachedPQMF.inverse (pqmf.py:292-301),
+        # the variant the shipped codec actually uses — verified sample-exact
+        # in tests/test_parity_torch.py
+        wav = wav[:, M:]
         return wav
 
 
@@ -252,4 +255,5 @@ class PQMFSynthesis(nn.Module):
         y = y[:, :-1] * M
         y = y[:, :, ::-1]
         wav = y.reshape(B, -1, 1)
-        return wav[:, 2 * M:]
+        # CachedPQMF.inverse alignment (see PQMF.inverse note)
+        return wav[:, M:]

@@ -40,8 +40,13 @@ def conv_kernel(w) -> np.ndarray:
 
 
 def conv_transpose_kernel(w) -> np.ndarray:
-    """torch (in, out, k) -> (k, in, out)."""
-    return _t(w).transpose(2, 0, 1)
+    """torch ConvTranspose1d (in, out, k) -> ours (k, in, out).
+
+    torch's transposed conv scatters the kernel un-flipped, while
+    jax.lax.conv_transpose(transpose_kernel=False) treats the kernel as a
+    forward-conv kernel — so the tap axis must be flipped (verified exact in
+    tests/test_parity_torch.py)."""
+    return _t(w).transpose(2, 0, 1)[::-1].copy()
 
 
 def linear_kernel(w) -> np.ndarray:
@@ -217,3 +222,64 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     import torch
     d = torch.load(path, map_location="cpu", weights_only=False)
     return d.get("model_state", d)
+
+
+# ---------------------------------------------------------------------------
+# Codec mapping (reference SimpleNetsStream.py:832 -> models/autoencoder.py)
+# ---------------------------------------------------------------------------
+
+
+def _conv_block(prefix: str, sd, use_norm: bool) -> Dict[str, Any]:
+    """Reference ConvBlock1d ([GN] -> Snake -> wn conv) under `prefix.net`."""
+    out: Dict[str, Any] = {}
+    if use_norm:
+        out["gn"] = {"scale": _t(sd[prefix + ".net.0.gn.weight"]),
+                     "bias": _t(sd[prefix + ".net.0.gn.bias"])}
+    out["act"] = snake(prefix + ".net.1", sd)
+    out["conv"] = wn_conv(prefix + ".net.2", sd)
+    return out
+
+
+def _res_block(prefix: str, sd, use_norm: bool) -> Dict[str, Any]:
+    """Reference ResnetBlock1d: AlignBranches([block1, block2], to_out)."""
+    out = {"block1": _conv_block(prefix + ".net.branches.0.0", sd, use_norm),
+           "block2": _conv_block(prefix + ".net.branches.0.1", sd, use_norm)}
+    if prefix + ".net.branches.1.weight_v" in sd:
+        out["to_out"] = wn_conv(prefix + ".net.branches.1", sd)
+    return out
+
+
+def _res_block_nores(prefix: str, sd, use_norm: bool) -> Dict[str, Any]:
+    """ResnetBlock1dNoRes: plain CachedSequential [block1, block2]."""
+    return {"block1": _conv_block(prefix + ".net.0", sd, use_norm),
+            "block2": _conv_block(prefix + ".net.1", sd, use_norm)}
+
+
+def map_codec(sd: Dict[str, Any], n_stages: int, num_blocks: int = 3,
+              use_norm: bool = True) -> Dict[str, Any]:
+    """Reference AutoEncoder state_dict -> our AudioCodec params
+    ({"encoder": ..., "decoder": ...})."""
+    enc: Dict[str, Any] = {}
+    enc["to_in"] = _res_block("encoder.net.0", sd, use_norm)
+    for i in range(n_stages):
+        stage = f"encoder.net.{1 + i}.net"
+        d: Dict[str, Any] = {}
+        for j in range(num_blocks):
+            d[f"res_{j}"] = _res_block(f"{stage}.{j}", sd, use_norm)
+        d["act"] = snake(f"{stage}.{num_blocks}", sd)
+        d["down"] = wn_conv(f"{stage}.{num_blocks + 1}", sd)
+        enc[f"down_{i}"] = d
+    enc["act"] = snake(f"encoder.net.{1 + n_stages}", sd)
+    enc["to_out"] = wn_conv(f"encoder.net.{2 + n_stages}", sd)
+
+    dec: Dict[str, Any] = {}
+    dec["to_in"] = wn_conv("decoder.net.0", sd)
+    for i in range(n_stages):
+        stage = f"decoder.net.{1 + i}.net"
+        u: Dict[str, Any] = {"act": snake(f"{stage}.0", sd),
+                             "up": wn_conv_transpose(f"{stage}.1", sd)}
+        for j in range(num_blocks):
+            u[f"res_{j}"] = _res_block(f"{stage}.{2 + j}", sd, use_norm)
+        dec[f"up_{i}"] = u
+    dec["to_out"] = _res_block_nores("decoder.synth.branches.0", sd, use_norm)
+    return {"encoder": enc, "decoder": dec}

@@ -153,3 +153,52 @@ def test_ecapa_parity():
     z, _, _ = mine.apply(variables, jnp.asarray(x))
     mse = float(np.mean((np.asarray(z) - z_ref) ** 2))
     assert mse < 1e-6, f"ecapa parity MSE {mse}"
+
+
+def test_codec_parity():
+    """Reference AutoEncoder encode/decode == ported after_tpu AudioCodec."""
+    sys.path.insert(0, "tests")
+    from ref_loader import load_reference_codec_module
+    import jax.numpy as jnp
+
+    from after_tpu.config import AutoEncoderConfig
+    from after_tpu.models import AudioCodec
+    from after_tpu.utils.port_torch import map_codec
+
+    sns = load_reference_codec_module()
+    torch.manual_seed(0)
+    ref = sns.AutoEncoder(
+        in_channels=4, channels=8, z_channels=8, multipliers=[1, 2, 2],
+        factors=[2, 2], dilations=[1, 3, 9], kernel_size=3,
+        bottleneck=sns.ReluBottleneck(sigma=0.0, scale=3),
+        use_norm=False, decoder_ratio=1.5, pqmf_bands=4,
+        use_loudness=True, use_noise=False).eval()
+    sd = ref.state_dict()
+    params = map_codec(sd, n_stages=2, num_blocks=3, use_norm=False)
+
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3, 9), num_blocks_per_stage=3,
+                            use_norm=False, decoder_ratio=1.5,
+                            bottleneck="relu", bottleneck_sigma=0.0)
+    mine = AudioCodec(cfg)
+
+    rng = np.random.RandomState(0)
+    T = cfg.ratio * 16
+    x = (0.3 * rng.randn(1, T)).astype(np.float32)
+    with torch.no_grad():
+        z_ref, _ = ref.encode(torch.from_numpy(x[None]))
+        y_ref = ref.decode(z_ref)
+    z_ref_np = z_ref.numpy().transpose(0, 2, 1)
+
+    z = mine.apply({"params": params}, jnp.asarray(x[..., None]),
+                   method=AudioCodec.encode)
+    mse_z = float(np.mean((np.asarray(z) - z_ref_np) ** 2))
+    assert mse_z < 1e-6, f"codec encode parity MSE {mse_z}"
+
+    y = mine.apply({"params": params}, jnp.asarray(z_ref_np),
+                   method=AudioCodec.decode)
+    y_ref_np = y_ref.numpy().transpose(0, 2, 1)
+    n = min(y.shape[1], y_ref_np.shape[1])
+    mse_y = float(np.mean((np.asarray(y)[:, :n] - y_ref_np[:, :n]) ** 2))
+    assert mse_y < 1e-6, f"codec decode parity MSE {mse_y}"
