@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: fused SnakeBeta + causal dilated conv1d.
+
+The codec's inner loop is ResnetBlock1d = [GN] -> snake -> conv(k,d) ->
+snake -> conv(1) -> +res (models/autoencoder.py).  XLA materialises the
+snake activation to HBM between convs at large T; this kernel computes
+
+    y[t, o] = sum_{j<k} snake(x[t + j*d])[c] * W[j, c, o] + b[o]
+
+per (batch, time-tile, out-tile) grid cell with the input window DMA'd into
+VMEM once: the activation is recomputed on the fly (cheap VPU work) and the
+tap-sum runs as k MXU matmuls over the channel dim.  Overlapping time
+windows (the causal left context) are handled with manual HBM->VMEM copies
+since blocked BlockSpecs cannot overlap.
+
+Correctness is pinned to the lax path in tests/test_pallas.py; the codec
+uses it opportunistically on TPU (ops.pallas.enabled()).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, alpha_ref, beta_ref, w_ref, b_ref, o_ref, *,
+            k: int, dilation: int, t_tile: int, pad: int):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    def body(xbuf, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + pad), :], xbuf, sem)
+        dma.start()
+        dma.wait()
+        x = xbuf[:]
+        alpha = alpha_ref[0, :]
+        beta = beta_ref[0, :]
+        a = x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+        acc = jnp.zeros((t_tile, o_ref.shape[2]), jnp.float32)
+        for j in range(k):
+            off = j * dilation
+            acc += jnp.dot(a[off:off + t_tile, :], w_ref[j],
+                           preferred_element_type=jnp.float32)
+        o_ref[0, :, :] = acc + b_ref[0, :]
+
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((t_tile + pad, x_hbm.shape[2]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA)
+
+
+def fused_snake_causal_conv(x: jnp.ndarray, alpha: jnp.ndarray,
+                            beta: jnp.ndarray, w: jnp.ndarray,
+                            b: jnp.ndarray, dilation: int = 1,
+                            t_tile: int = 256,
+                            interpret: bool = False) -> jnp.ndarray:
+    """y = causal_conv(snake_beta(x)); x (B,T,C), w (k,C,O) -> (B,T,O)."""
+    B, T, C = x.shape
+    k, _, O = w.shape
+    pad = (k - 1) * dilation
+    t_tile = min(t_tile, T)
+    assert T % t_tile == 0, (T, t_tile)
+    o_tile = O if O <= 512 else 256
+    assert O % o_tile == 0
+
+    xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+    grid = (B, T // t_tile, O // o_tile)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, dilation=dilation, t_tile=t_tile,
+                          pad=pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, T + pad, C), lambda bi, ti, oi: (0, 0, 0),
+                         memory_space=pl.ANY),
+            pl.BlockSpec((1, C), lambda bi, ti, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bi, ti, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, C, o_tile), lambda bi, ti, oi: (0, 0, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o_tile), lambda bi, ti, oi: (0, oi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, o_tile),
+                               lambda bi, ti, oi: (bi, ti, oi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, O), jnp.float32),
+        interpret=interpret,
+    )(xp, alpha.reshape(1, C), beta.reshape(1, C), w, b.reshape(1, O))
+    return out
+
+
+def reference_snake_causal_conv(x, alpha, beta, w, b, dilation=1):
+    """lax reference implementation (for tests and CPU fallback)."""
+    a = x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+    k = w.shape[0]
+    pad = (k - 1) * dilation
+    y = jax.lax.conv_general_dilated(
+        a, w, (1,), [(pad, 0)], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y + b
