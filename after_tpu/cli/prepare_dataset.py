@@ -44,6 +44,9 @@ def build_argparser():
                    help="number of pitch/stretch augmented latent copies")
     p.add_argument("--midi", action="store_true",
                    help="store sliced MIDI per chunk (simple_midi/slakh)")
+    p.add_argument("--basic_pitch", default=None,
+                   help="path to a basic-pitch torch checkpoint: transcribe "
+                        "audio to MIDI when no .mid file exists")
     p.add_argument("--max_files", type=int, default=None)
     return p
 
@@ -115,6 +118,14 @@ def main(argv=None) -> int:
 
     encoder = (CodecEncoderFn(args.emb_model_path, args.sr)
                if args.emb_model_path else None)
+    transcriber = None
+    if args.basic_pitch:
+        import jax
+        from ..dataset.basic_pitch import BasicPitch, load_torch_weights
+        transcriber = BasicPitch()
+        variables = transcriber.init(jax.random.PRNGKey(0))
+        ported = load_torch_weights(args.basic_pitch)
+        transcriber.variables = {**variables, **ported}
     rng = np.random.RandomState(0)
 
     with RecordWriter(args.output_path) as writer:
@@ -158,6 +169,8 @@ def main(argv=None) -> int:
             if args.normalize:
                 x = normalize_signal(x)
             midi = MidiFile(mf) if (args.midi and mf) else None
+            if midi is None and transcriber is not None:
+                midi = transcriber.transcribe(x, args.sr)
             for ci, chunk in enumerate(_chunk_signal(x, args.num_signal)):
                 if args.cut_silences and np.abs(chunk).max() < args.silence_threshold:
                     continue

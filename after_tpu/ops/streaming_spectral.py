@@ -97,3 +97,84 @@ class StreamableCQT(nn.Module):
         re = jnp.einsum("btk,fk->btf", frames, kr)
         im = jnp.einsum("btk,fk->btf", frames, ki)
         return jnp.sqrt(re * re + im * im + 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Multi-rate CQT (CQT2010-style: top-octave kernels over a downsampling
+# pyramid) — needed for low fmin without huge kernels (basic-pitch frontend).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _octave_kernels(sr: int, f_low: float, n_bins: int, bins_per_octave: int
+                    ) -> Tuple[np.ndarray, int]:
+    """Gabor atoms for one octave [f_low, 2*f_low) at sample rate sr."""
+    Q = 1.0 / (2 ** (1.0 / bins_per_octave) - 1)
+    freqs = f_low * 2 ** (np.arange(n_bins) / bins_per_octave)
+    lengths = np.ceil(Q * sr / freqs).astype(int)
+    klen = int(2 ** np.ceil(np.log2(lengths.max())))
+    kernels = np.zeros((n_bins, klen), dtype=np.complex64)
+    for i, (f, L) in enumerate(zip(freqs, lengths)):
+        n = np.arange(L) - L // 2
+        atom = np.hanning(L) * np.exp(2j * np.pi * f * n / sr) / L
+        start = (klen - L) // 2
+        kernels[i, start:start + L] = atom
+    return kernels, klen
+
+
+@lru_cache(maxsize=4)
+def _halfband_filter(taps: int = 64) -> np.ndarray:
+    import scipy.signal
+    return scipy.signal.firwin(2 * taps + 1, 0.5).astype(np.float32)
+
+
+def multirate_cqt(x: jnp.ndarray, sr: int, fmin: float, n_bins: int,
+                  bins_per_octave: int, hop: int) -> jnp.ndarray:
+    """(B, T) audio -> (B, T//hop, n_bins) CQT magnitudes.
+
+    CQT2010-style: short kernels for the top octave, applied to a 2x
+    anti-aliased downsampling pyramid for each lower octave; hop divides by 2
+    per level so all octaves share the frame grid.
+    """
+    B, T = x.shape
+    n_frames = T // hop
+    n_octaves = int(np.ceil(n_bins / bins_per_octave))
+    f_top_low = fmin * 2 ** (n_octaves - 1)    # low edge of top octave
+    top_bins = n_bins - (n_octaves - 1) * bins_per_octave
+    hb = jnp.asarray(_halfband_filter())[:, None, None]
+
+    outs = []
+    cur = x[..., None]
+    for g in range(n_octaves):
+        # kernels are always designed at full rate for the top octave band;
+        # on the 2^g-downsampled signal they analyse [f_top_low/2^g, ...)
+        if g == 0:
+            # partial top octave keeps only its highest `top_bins` bins,
+            # which start exactly at f_top_low
+            kern, klen = _octave_kernels(sr, f_top_low, top_bins,
+                                         bins_per_octave)
+        else:
+            kern, klen = _octave_kernels(sr, f_top_low, bins_per_octave,
+                                         bins_per_octave)
+        hop_g = hop // (2 ** g)
+        if hop_g < 1:
+            break
+        # pad so frame i is centred at i*hop_g (matching across octaves)
+        sig = jnp.pad(cur[..., 0], ((0, 0), (klen // 2, klen)))
+        frames = stft_ops.frame_signal(sig, klen, hop_g)[:, :n_frames]
+        if frames.shape[1] < n_frames:
+            frames = jnp.pad(frames, ((0, 0),
+                                      (0, n_frames - frames.shape[1]),
+                                      (0, 0)))
+        re = jnp.einsum("btk,fk->btf", frames, jnp.asarray(np.real(kern)))
+        im = jnp.einsum("btk,fk->btf", frames, jnp.asarray(np.imag(kern)))
+        mag = jnp.sqrt(re * re + im * im + 1e-12)
+        outs.append(mag)
+        # downsample 2x for the next (lower) octave
+        pad = hb.shape[0] // 2
+        cur = jax.lax.conv_general_dilated(
+            cur, hb, (2,), [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+    # outs[0] = top octave ... outs[-1] = lowest; stack low->high bins
+    full = jnp.concatenate(list(reversed(outs)), axis=-1)
+    return full[..., :n_bins]
