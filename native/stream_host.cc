@@ -203,6 +203,32 @@ void WriteWav(const std::string& path, const std::vector<float>& x, int sr) {
 // PJRT wrapper
 // ---------------------------------------------------------------------------
 
+// "key=value" create options from the AFTER_PJRT_OPTIONS env var
+// (';'-separated; integers auto-detected).  The axon relay plugin, for
+// example, needs topology/session_id/rank options (see docs/training.md).
+std::vector<std::pair<std::string, std::string>> ParseCreateOptions() {
+  std::vector<std::pair<std::string, std::string>> out;
+  const char* env = getenv("AFTER_PJRT_OPTIONS");
+  if (!env) return out;
+  std::stringstream ss(env);
+  std::string item;
+  while (std::getline(ss, item, ';')) {
+    auto eq = item.find('=');
+    if (eq != std::string::npos) {
+      out.emplace_back(item.substr(0, eq), item.substr(eq + 1));
+    }
+  }
+  return out;
+}
+
+bool IsInteger(const std::string& s) {
+  if (s.empty()) return false;
+  for (char c : s) {
+    if (!isdigit(c)) return false;
+  }
+  return true;
+}
+
 class PjrtHost {
  public:
   explicit PjrtHost(const std::string& plugin_path) {
@@ -223,8 +249,31 @@ class PjrtHost {
         PJRT_Plugin_Initialize_Args_STRUCT_SIZE, nullptr};
     Check(api_->PJRT_Plugin_Initialize(&init_args), "Plugin_Initialize");
 
+    auto opts = ParseCreateOptions();
+    std::vector<PJRT_NamedValue> named(opts.size());
+    std::vector<int64_t> int_storage(opts.size());
+    for (size_t i = 0; i < opts.size(); ++i) {
+      PJRT_NamedValue& nv = named[i];
+      nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+      nv.extension_start = nullptr;
+      nv.name = opts[i].first.c_str();
+      nv.name_size = opts[i].first.size();
+      if (IsInteger(opts[i].second)) {
+        nv.type = PJRT_NamedValue_kInt64;
+        int_storage[i] = std::strtoll(opts[i].second.c_str(), nullptr, 10);
+        nv.int64_value = int_storage[i];
+        nv.value_size = 1;
+      } else {
+        nv.type = PJRT_NamedValue_kString;
+        nv.string_value = opts[i].second.c_str();
+        nv.value_size = opts[i].second.size();
+      }
+    }
+
     PJRT_Client_Create_Args create{};
     create.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    create.create_options = named.data();
+    create.num_options = named.size();
     Check(api_->PJRT_Client_Create(&create), "Client_Create");
     client_ = create.client;
 

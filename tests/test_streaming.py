@@ -137,3 +137,37 @@ def test_streamer_midi_diffuse():
                                      jnp.asarray(zt), 2)
     assert z.shape == (1, 4, cfg.denoiser.n_channels)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_crossfade_decoder_noncausal():
+    """Cross-fade streaming decode of a non-causal codec approximates the
+    offline decode away from chunk boundaries (reference AE_notcausal,
+    export_autoencoder.py:131-153)."""
+    from after_tpu.streaming.crossfade import CrossfadeDecoder
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1,
+                            causal=False, use_norm=False)
+    codec = AudioCodec(cfg)
+    z = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (1, 64, 8))
+    # smooth the latents so neighbouring frames correlate (realistic case)
+    z = (z + jnp.roll(z, 1, 1) + jnp.roll(z, 2, 1)) / 3
+    variables = codec.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, cfg.ratio * 64, 1)))
+    y_off = np.asarray(codec.apply(variables, z, method=AudioCodec.decode))
+
+    dec = CrossfadeDecoder(cfg, n_fade=4)
+    state = dec.init_state(1)
+    outs = []
+    for i in range(0, 64, 8):
+        y, state = dec.decode(variables, state, z[:, i:i + 8])
+        outs.append(y)
+    y_stream = np.asarray(jnp.concatenate(outs, axis=1))
+    # streamed output lags by n_fade latent frames; compare energies of the
+    # interior region (crossfade is approximate, not sample-exact)
+    lag = 4 * cfg.ratio
+    n = min(y_off.shape[1] - 0, y_stream.shape[1] - lag)
+    a = y_off[0, cfg.ratio * 8: n - cfg.ratio * 8, 0]
+    b = y_stream[0, lag + cfg.ratio * 8: lag + len(a) + cfg.ratio * 8, 0][:len(a)]
+    err = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a ** 2)) + 1e-9)
+    assert err < 0.35, f"crossfade decode too far from offline: rel rmse {err}"
