@@ -24,6 +24,62 @@ from ..ops.pqmf import PQMFAnalysis, PQMFSynthesis
 from ..ops.snake import SnakeBeta
 
 
+class StreamGroupNorm(nn.Module):
+    """GroupNorm with a streaming past-context pad buffer.
+
+    Reference CachedGroupNorm (SimpleNetsStream.py:96-147): in stream mode the
+    incoming chunk is normalised together with a ring buffer of the previous
+    chunk's samples, approximating the offline statistics.  Offline it is a
+    plain GroupNorm.
+    """
+
+    num_groups: int
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        gn = nn.GroupNorm(num_groups=min(x.shape[-1], self.num_groups),
+                          name="gn")
+        if not self.streaming:
+            return gn(x)
+        pad = self.variable(
+            "cache", "pad",
+            lambda: jnp.zeros((x.shape[0], x.shape[1], x.shape[-1]), x.dtype))
+        full = jnp.concatenate([pad.value, x], axis=1)
+        pad.value = full[:, -x.shape[1]:]
+        return gn(full)[:, -x.shape[1]:]
+
+
+class GRU(nn.Module):
+    """Optional recurrent layer (SimpleNetsStream.py:788-816): multi-layer GRU
+    over latent frames + weight-normed 1x1-ish conv out."""
+
+    out_size: int
+    hidden_size: int = 256
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, carry=None):
+        B = x.shape[0]
+        cells = [nn.GRUCell(self.hidden_size, name=f"gru_{i}")
+                 for i in range(self.num_layers)]
+        if carry is None:
+            carry = [jnp.zeros((B, self.hidden_size)) for _ in cells]
+
+        def step(carries, xt):
+            new_c = []
+            h = xt
+            for c, cell in zip(carries, cells):
+                c2, h = cell(c, h)
+                new_c.append(c2)
+            return new_c, h
+
+        carry, hs = jax.lax.scan(step, carry, x.transpose(1, 0, 2))
+        h = hs.transpose(1, 0, 2)
+        y = StreamConv1d(self.out_size, 3, mode="centered", name="to_out")(h)
+        return y, carry
+
+
 class ConvBlock1d(nn.Module):
     """[GroupNorm] -> SnakeBeta -> weight-normed conv (SimpleNetsStream.py:150)."""
 
@@ -41,8 +97,8 @@ class ConvBlock1d(nn.Module):
         in_c = x.shape[-1]
         h = x
         if self.use_norm:
-            h = nn.GroupNorm(num_groups=min(in_c, self.num_groups),
-                             name="gn")(h)
+            h = StreamGroupNorm(self.num_groups, streaming=self.streaming,
+                                name="gn")(h)
         h = SnakeBeta(in_c, name="act")(h)
         h = StreamConv1d(self.out_c, self.kernel_size, stride=self.stride,
                          dilation=self.dilation, mode=self.mode,
