@@ -100,6 +100,13 @@ def main(argv=None) -> int:
             vloss = validate(trainer, st, val_loader)
             logger.log(st.step, {"val_diffusion_loss": vloss})
             print(f"[train] step {st.step} val loss {vloss:.4f}")
+            if codec_decode is not None:
+                sample_validation_audio(trainer, st, val_loader, codec_decode,
+                                        logger, cfg)
+
+    codec_decode = None
+    if args.emb_model_path:
+        codec_decode = make_codec_decode(args.emb_model_path)
 
     print(f"[train] {args.name}: in_size={in_size}, "
           f"batch={cfg.train.batch_size}, steps={cfg.train.max_steps}")
@@ -127,3 +134,54 @@ def validate(trainer, state, val_loader, n_batches: int = 8) -> float:
             tcond, cond, training=False)
         losses.append(float(loss))
     return float(np.mean(losses))
+
+
+def make_codec_decode(ckpt_dir: str):
+    """Jitted codec decode for validation audio (reference decodes val samples
+    with the emb model, model.py:517-561)."""
+    import jax
+    import jax.numpy as jnp
+    from ..config import get_ae_config
+    from ..models import AudioCodec
+    from ..utils.checkpoint import restore_checkpoint
+
+    tree = restore_checkpoint(ckpt_dir)
+    codec_vars = tree.get("codec_vars", tree)
+    codec = AudioCodec(get_ae_config())
+
+    @jax.jit
+    def dec(z):
+        return codec.apply(codec_vars, z, method=AudioCodec.decode)
+
+    return dec
+
+
+def sample_validation_audio(trainer, state, val_loader, codec_decode, logger,
+                            cfg, n: int = 4):
+    """Log true / reconstruction / transfer audio triplets
+    (reference model.py:517-561), using the EMA weights."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = next(iter(val_loader))
+    x1 = jnp.asarray(batch["x"][:n])
+    (cond, _, _), _ = trainer.rf.encode_timbre(state.variables,
+                                               jnp.asarray(batch["x_cond"][:n]))
+    (tcond, _, _), _ = trainer.rf.encode_structure(
+        state.variables, jnp.asarray(batch["x_time_cond"][:n]))
+    net_ema = {"params": state.ema_params}
+    x0 = jax.random.normal(jax.random.PRNGKey(state.step), x1.shape)
+    x_rec = trainer.rf.sample(net_ema, x0, cond, tcond, 20)
+    x_tr = trainer.rf.sample(net_ema, x0, jnp.roll(cond, -1, axis=0),
+                             tcond, 20)
+    import numpy as np
+    for i in range(x1.shape[0]):
+        logger.log_audio(state.step, f"true/{i}",
+                         np.asarray(codec_decode(x1[i:i + 1]))[0, :, 0],
+                         cfg.sr)
+        logger.log_audio(state.step, f"reconstruction/{i}",
+                         np.asarray(codec_decode(x_rec[i:i + 1]))[0, :, 0],
+                         cfg.sr)
+        logger.log_audio(state.step, f"transfer/{i}",
+                         np.asarray(codec_decode(x_tr[i:i + 1]))[0, :, 0],
+                         cfg.sr)
