@@ -190,9 +190,12 @@ class Streamer:
                                  audio_timbre, nb_steps, guidance_timbre,
                                  guidance_structure, rng)
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
     def _forward_jit(self, variables, state, audio_structure, audio_timbre,
                      nb_steps, guidance_timbre, guidance_structure, rng):
+        # `state` is donated: the stream state buffers are updated in place
+        # on device each audio callback (no per-buffer copies of the KV/conv
+        # caches)
         zs, state = self.structure(variables, state, audio_structure)
         zt, state = self.timbre(variables, state, audio_timbre)
         z, state = self.diffuse(variables, state, zs, zt, nb_steps,
