@@ -16,7 +16,8 @@ import argparse
 import sys
 
 AVAILABLE = ["prepare_dataset", "update_dataset", "train_autoencoder",
-             "export_autoencoder", "train", "export", "export_midi"]
+             "export_autoencoder", "train", "export", "export_midi",
+             "import_torch"]
 
 
 def main(argv=None):
@@ -40,6 +41,9 @@ def main(argv=None):
     if cmd in ("export", "export_midi", "export_autoencoder"):
         from . import export
         return export.main(cmd, rest)
+    if cmd == "import_torch":
+        from . import import_torch
+        return import_torch.main(rest)
     return 1
 
 

@@ -24,9 +24,14 @@ def init_stream_state(module, *example_args, method=None, **kwargs):
     """Build a zeroed streaming cache for `module` given example inputs.
 
     flax's ``init`` runs the forward pass, which advances cache contents; this
-    helper re-zeros them so a stream always starts from silence.
+    helper re-zeros them so a stream always starts from silence.  The whole
+    init runs under jit: eager init would issue one backend compile per op,
+    which is pathologically slow on remote-compile TPU backends.
     """
-    variables = module.init({"params": jax.random.PRNGKey(0)}, *example_args,
-                            method=method, **kwargs)
-    cache = variables.get("cache", {})
-    return zero_cache(cache)
+
+    def go():
+        variables = module.init({"params": jax.random.PRNGKey(0)},
+                                *example_args, method=method, **kwargs)
+        return zero_cache(variables.get("cache", {}))
+
+    return jax.jit(go)()

@@ -87,9 +87,12 @@ class Streamer:
         T = self.chunk_size
 
         def cache_of(module, vars_key, *args, method=None):
-            v = module.init({"params": jax.random.PRNGKey(0)}, *args,
-                            method=method)
-            return zero_cache(v.get("cache", {}))
+            # jitted: eager init = one remote compile per op (see CLAUDE.md)
+            def go():
+                v = module.init({"params": jax.random.PRNGKey(0)}, *args,
+                                method=method)
+                return zero_cache(v.get("cache", {}))
+            return jax.jit(go)()
 
         enc_cache = cache_of(self.codec, "codec",
                              jnp.zeros((B, A, 1)), method=AudioCodec.encode)
@@ -98,11 +101,11 @@ class Streamer:
         et_cache = (cache_of(self.enc_time, "encoder_time",
                              jnp.zeros((B, T, z_ch)))
                     if self.enc_time is not None else {})
-        dn_cache = zero_cache(self.rf.net_stream.init(
+        dn_cache = jax.jit(lambda: zero_cache(self.rf.net_stream.init(
             {"params": jax.random.PRNGKey(0)},
             jnp.zeros((3 * B, T, z_ch)), jnp.zeros((3 * B,)),
             jnp.zeros((3 * B, cfg.zt_channels)),
-            jnp.zeros((3 * B, T, cfg.zs_channels)))["cache"])
+            jnp.zeros((3 * B, T, cfg.zs_channels)))["cache"]))()
         return StreamState(
             codec_struct=enc_cache,
             codec_timbre=jax.tree_util.tree_map(jnp.copy, enc_cache),
