@@ -52,7 +52,7 @@ class TDNNBlock(nn.Module):
         h = ReflectConv(self.features, self.kernel_size, self.dilation,
                         self.groups, name="conv")(x)
         h = nn.relu(h)
-        return nn.BatchNorm(use_running_average=not training, name="bn")(h)
+        return nn.BatchNorm(use_running_average=not training, momentum=0.9, name="bn")(h)
 
 
 class Res2NetBlock(nn.Module):
@@ -176,7 +176,7 @@ class ECAPAEncoder(nn.Module):
             h = AttentiveStatisticsPooling(
                 cfg.attention_channels, cfg.global_context, name="asp")(
                     h, training)
-            h = nn.BatchNorm(use_running_average=not training,
+            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                              name="asp_bn")(h)
 
         z = nn.Dense(out_size, name="fc")(h)

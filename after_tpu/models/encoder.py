@@ -35,11 +35,13 @@ class V2ConvBlock1D(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         res = x
-        h = nn.BatchNorm(use_running_average=not training, name="bn1")(x)
+        # momentum 0.9 matches torch BatchNorm1d's default adaptation rate
+        # (torch momentum 0.1 == flax momentum 0.9)
+        h = nn.BatchNorm(use_running_average=not training, momentum=0.9, name="bn1")(x)
         h = nn.silu(h)
         h = StreamConv1d(self.out_c, self.kernel_size, mode=self.mode,
                          streaming=self.streaming, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not training, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not training, momentum=0.9, name="bn2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
         h = StreamConv1d(self.out_c, self.kernel_size, mode=self.mode,
