@@ -48,7 +48,11 @@ class AutoencoderTrainer:
         self.tc = train_cfg or AETrainConfig()
         self.dcfg = disc_cfg or DiscriminatorConfig()
         self.codec = AudioCodec(ae_cfg)
-        self.disc = EncodecDiscriminator(self.dcfg)
+        if self.dcfg.kind == "descript":
+            from ..models.descript_discriminator import DescriptDiscriminator
+            self.disc = DescriptDiscriminator()
+        else:
+            self.disc = EncodecDiscriminator(self.dcfg)
 
         lr = optax.exponential_decay(self.tc.lr, 1, self.tc.lr_decay)
         self.optimizer = optax.chain(

@@ -125,8 +125,12 @@ class AutoEncoderConfig:
 
 @dataclass(frozen=True)
 class DiscriminatorConfig:
-    """Encodec multi-scale STFT discriminator (reference: encodec_discriminator.py:217 + baseAE.gin:56-66)."""
+    """Encodec multi-scale STFT discriminator (reference: encodec_discriminator.py:217 + baseAE.gin:56-66).
 
+    kind="descript" selects the DAC-style MPD/MSD/MRD discriminator instead
+    (reference descript_discriminator.py, gin-selectable)."""
+
+    kind: str = "encodec"           # "encodec" | "descript"
     filters: int = 64
     n_ffts: Tuple[int, ...] = (206, 334, 542, 876, 1418, 2296)
     hop_lengths: Tuple[int, ...] = (103, 167, 271, 438, 709, 1148)

@@ -56,9 +56,11 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
             times = np.linspace(0, total * ae_ratio / sr, total)
             rolls = []
             for bi, b in enumerate(batch):
-                midi = b["midi"]
+                midi = b.get("midi", b.get("midi_bytes"))
+                if isinstance(midi, np.ndarray):
+                    midi = midi.tobytes()
                 if isinstance(midi, (bytes, bytearray)):
-                    import io, pickle
+                    import pickle
                     midi = pickle.loads(midi)
                 roll = midi.get_piano_roll(times=times) / 127.0
                 rolls.append(roll[..., i0[bi]:i0[bi] + n_signal])

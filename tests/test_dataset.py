@@ -117,3 +117,24 @@ def test_native_store_matches_python(tmp_path):
     for k in py.keys():
         assert nat.get(k) == py.get(k)
     nat.close()
+
+
+def test_midi_collate_from_store(tmp_path):
+    """MIDI records written by prepare_dataset (pickled MidiFile bytes) flow
+    through the collate into piano rolls."""
+    import pickle
+    from after_tpu.dataset import RecordWriter
+    m = MidiFile(notes=[Note(64, 90, 0.0, 2.0)])
+    with RecordWriter(str(tmp_path / "db")) as w:
+        for i in range(4):
+            ae = AudioExample()
+            ae.put_array("z", np.random.randn(8, 64).astype(np.float32))
+            blob = pickle.dumps(m)
+            ae.put_buffer("midi_bytes", blob, [len(blob)])
+            w.put(f"{i:08d}", ae.serialize())
+    ds = SimpleDataset(str(tmp_path / "db"), keys=["z", "midi_bytes"])
+    collate = make_collate_fn(n_signal=32, structure_type="midi",
+                              ae_ratio=2048, sr=44100)
+    batch = collate([ds[0], ds[1]])
+    assert batch["x_time_cond"].shape == (2, 32, 128)
+    assert batch["x_time_cond"][:, :, 64].max() > 0
