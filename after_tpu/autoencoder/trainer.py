@@ -63,14 +63,18 @@ class AutoencoderTrainer:
             optax.adamw(lr, b1=0.8, b2=0.9, weight_decay=0.01))
 
     def init(self, rng: jax.Array, batch_size: int = 1) -> AETrainState:
-        k1, k2 = jax.random.split(rng)
-        x = jnp.zeros((batch_size, self.tc.num_signal, 1))
-        codec_vars = self.codec.init(k1, x)
-        disc_vars = self.disc.init(k2, x[:, :8192], x[:, :8192])
-        return AETrainState(
-            codec_vars, disc_vars,
-            self.optimizer.init(codec_vars["params"]),
-            self.disc_optimizer.init(disc_vars["params"]), 0)
+        # jitted init (see CLAUDE.md: eager init is slow on remote backends)
+        def go(rng):
+            k1, k2 = jax.random.split(rng)
+            x = jnp.zeros((batch_size, self.tc.num_signal, 1))
+            codec_vars = self.codec.init(k1, x)
+            disc_vars = self.disc.init(k2, x[:, :8192], x[:, :8192])
+            return (codec_vars, disc_vars,
+                    self.optimizer.init(codec_vars["params"]),
+                    self.disc_optimizer.init(disc_vars["params"]))
+
+        codec_vars, disc_vars, opt, dopt = jax.jit(go)(rng)
+        return AETrainState(codec_vars, disc_vars, opt, dopt, 0)
 
     # ------------------------------------------------------------------
 

@@ -89,13 +89,19 @@ class DiffusionTrainer:
 
     def init(self, rng: jax.Array, batch_size: Optional[int] = None
              ) -> DiffusionTrainState:
-        variables = self.rf.init(rng, batch_size or self.tc.batch_size)
-        main_params = self._main_params(variables)
-        opt_state = self.optimizer.init(main_params)
-        cls_opt_state = (self.cls_optimizer.init(
-            variables["classifier"]["params"])
-            if "classifier" in variables else None)
-        ema = jax.tree_util.tree_map(jnp.copy, variables["net"]["params"])
+        # jitted: eager init issues one backend compile per op, which is
+        # pathologically slow on remote-compile TPU backends (CLAUDE.md)
+        def go(rng):
+            variables = self.rf.init(rng, batch_size or self.tc.batch_size)
+            main_params = self._main_params(variables)
+            opt_state = self.optimizer.init(main_params)
+            cls_opt_state = (self.cls_optimizer.init(
+                variables["classifier"]["params"])
+                if "classifier" in variables else None)
+            ema = jax.tree_util.tree_map(jnp.copy, variables["net"]["params"])
+            return variables, opt_state, cls_opt_state, ema
+
+        variables, opt_state, cls_opt_state, ema = jax.jit(go)(rng)
         return DiffusionTrainState(variables, opt_state, cls_opt_state,
                                    ema, 0)
 

@@ -116,7 +116,8 @@ class PQMF:
         """
         T = x.shape[1]
         reps = (T + 3) // 2
-        m = jnp.tile(self._mask2, (reps, 1))[parity:parity + T]
+        m = jnp.tile(jnp.asarray(self._mask2, x.dtype),
+                     (reps, 1))[parity:parity + T]
         return x * m[None]
 
     @partial(jax.jit, static_argnums=0)
@@ -188,6 +189,7 @@ class PQMFAnalysis(nn.Module):
         B, T, _ = x.shape
         M, K = pq.n_band, pq.taps
         xp = x.reshape(B, T // M, M)
+        kern = jnp.asarray(pq._ana_kernel, x.dtype)
         if self.causal:
             pad = (K - 1, 0)
             if self.streaming:
@@ -197,16 +199,16 @@ class PQMFAnalysis(nn.Module):
                 xp_full = jnp.concatenate([cache.value, xp], axis=1)
                 cache.value = xp_full[:, -(K - 1):]
                 y = jax.lax.conv_general_dilated(
-                    xp_full, pq._ana_kernel, (1,), "VALID",
+                    xp_full, kern, (1,), "VALID",
                     dimension_numbers=("NWC", "WIO", "NWC"))
             else:
                 y = jax.lax.conv_general_dilated(
-                    xp, pq._ana_kernel, (1,), [pad],
+                    xp, kern, (1,), [pad],
                     dimension_numbers=("NWC", "WIO", "NWC"))
         else:
             p = K // 2
             y = jax.lax.conv_general_dilated(
-                xp, pq._ana_kernel, (1,), [(p, p)],
+                xp, kern, (1,), [(p, p)],
                 dimension_numbers=("NWC", "WIO", "NWC"))[:, :-1]
         if self.streaming:
             assert T // M % 2 == 0, "streaming PQMF needs even chunk frames"
@@ -231,6 +233,7 @@ class PQMFSynthesis(nn.Module):
         B, Tm, M = xb.shape
         K = pq.taps
         x = pq._apply_mask(xb, self.parity if self.streaming else 0)
+        kern = jnp.asarray(pq._syn_kernel, xb.dtype)
         if self.causal:
             if self.streaming:
                 cache = self.variable(
@@ -239,18 +242,18 @@ class PQMFSynthesis(nn.Module):
                 x_full = jnp.concatenate([cache.value, x], axis=1)
                 cache.value = x_full[:, -(K - 1):]
                 y = jax.lax.conv_general_dilated(
-                    x_full, pq._syn_kernel, (1,), "VALID",
+                    x_full, kern, (1,), "VALID",
                     dimension_numbers=("NWC", "WIO", "NWC"))
             else:
                 y = jax.lax.conv_general_dilated(
-                    x, pq._syn_kernel, (1,), [(K - 1, 0)],
+                    x, kern, (1,), [(K - 1, 0)],
                     dimension_numbers=("NWC", "WIO", "NWC"))
             y = y * M
             y = y[:, :, ::-1]
             return y.reshape(B, -1, 1)
         pad = K // 2 + 1
         y = jax.lax.conv_general_dilated(
-            x, pq._syn_kernel, (1,), [(pad, pad)],
+            x, kern, (1,), [(pad, pad)],
             dimension_numbers=("NWC", "WIO", "NWC"))
         y = y[:, :-1] * M
         y = y[:, :, ::-1]
