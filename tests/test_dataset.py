@@ -138,3 +138,19 @@ def test_midi_collate_from_store(tmp_path):
     batch = collate([ds[0], ds[1]])
     assert batch["x_time_cond"].shape == (2, 32, 128)
     assert batch["x_time_cond"][:, :, 64].max() > 0
+
+
+def test_latent_map_projector(tmp_path):
+    from after_tpu.utils.latent_map import (SmallAutoencoder, train_projector,
+                                            generate_map_png)
+    rng = np.random.RandomState(0)
+    emb = rng.randn(200, 6).astype(np.float32)
+    model, params = train_projector(emb, num_steps=200, batch_size=32)
+    import jax.numpy as jnp
+    m2d = model.apply(params, jnp.asarray(emb), method=SmallAutoencoder.encode)
+    assert m2d.shape == (200, 2)
+    assert np.abs(np.asarray(m2d)).max() <= 1.0
+    png = str(tmp_path / "map.png")
+    rgb = generate_map_png(np.asarray(m2d), png, bins=64, sigma=3)
+    assert rgb.shape == (64, 64, 3)
+    assert open(png, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
