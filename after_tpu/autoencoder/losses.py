@@ -8,7 +8,7 @@ Reference: /root/reference/after/autoencoder/core.py (MultiResolutionSTFTLoss
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

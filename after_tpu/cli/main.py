@@ -12,7 +12,6 @@
 
 from __future__ import annotations
 
-import argparse
 import sys
 
 AVAILABLE = ["prepare_dataset", "update_dataset", "train_autoencoder",

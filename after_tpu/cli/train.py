@@ -41,8 +41,7 @@ def main(argv=None) -> int:
 
     from ..dataset import CombinedDataset, DataLoader, make_collate_fn
     from ..diffusion.trainer import DiffusionTrainer
-    from ..utils.checkpoint import (available_steps, restore_checkpoint,
-                                    save_checkpoint)
+    from ..utils.checkpoint import restore_checkpoint, save_checkpoint
     from ..utils.logging import MetricsLogger
 
     args = build_argparser().parse_args(argv)

@@ -10,7 +10,6 @@ librosa's 'soxr'-less fallback).
 from __future__ import annotations
 
 import fractions
-import wave
 from typing import Optional, Tuple
 
 import numpy as np

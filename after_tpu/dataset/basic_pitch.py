@@ -19,8 +19,7 @@ ported from the vendored checkpoint via `load_torch_weights`.
 from __future__ import annotations
 
 import math
-from functools import lru_cache
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import flax.linen as nn
 import jax

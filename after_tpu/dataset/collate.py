@@ -12,7 +12,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .midi import MidiFile
 
 
 def make_collate_fn(n_signal: int, structure_type: str = "audio",

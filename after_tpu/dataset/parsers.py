@@ -10,7 +10,7 @@ users see what was skipped.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 AUDIO_EXTS = (".wav", ".WAV")
 UNSUPPORTED_EXTS = (".mp3", ".flac", ".ogg", ".opus", ".aif", ".aiff", ".m4a")

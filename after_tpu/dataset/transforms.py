@@ -14,7 +14,7 @@ tracker producing the "beat clock" sawtooth.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.signal

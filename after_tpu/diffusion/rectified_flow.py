@@ -17,13 +17,13 @@ caches).  TPU redesign:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import AfterConfig
-from ..models import AudioCodec, Denoiser, ECAPAEncoder, Encoder1D
+from ..models import Denoiser, ECAPAEncoder, Encoder1D
 
 
 class RectifiedFlow:

@@ -12,7 +12,7 @@ delay bookkeeping is static metadata.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

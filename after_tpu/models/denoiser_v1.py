@@ -19,7 +19,6 @@ Offline graph only (the primary/streaming backbone is DenoiserV2).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ GAN + normalized feature matching (baseAE.gin weights: fm 20.0, adv 0.0).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ just this module jitted on the buffered window.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

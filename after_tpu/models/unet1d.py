@@ -10,7 +10,7 @@ Layout (B, T, C); convs are plain centered (this backbone is offline-only).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

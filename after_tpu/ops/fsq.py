@@ -12,7 +12,7 @@ Available to Encoder1D as `vector_quantizer` (encoder.py:129,289-290).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

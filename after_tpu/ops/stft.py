@@ -9,7 +9,7 @@ constants (windows, filterbanks, FIR taps), so they fuse under jit.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

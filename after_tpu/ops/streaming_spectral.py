@@ -12,7 +12,7 @@ complex log-spaced Gabor atoms applied as a conv — magnitudes returned.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

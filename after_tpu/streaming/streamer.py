@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AfterConfig
-from ..models import AudioCodec, Denoiser, ECAPAEncoder, Encoder1D
+from ..models import AudioCodec, ECAPAEncoder, Encoder1D
 from ..diffusion.rectified_flow import RectifiedFlow
 from .state import zero_cache
 

@@ -22,7 +22,7 @@ explicit correspondences (cited to the reference modules).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
