@@ -33,6 +33,9 @@ def build_argparser():
     p.add_argument("--restart", type=int, default=None)
     p.add_argument("--ae_ratio", type=int, default=2048)
     p.add_argument("--sr", type=int, default=44100)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of the first N steps "
+                        "to <run>/profile (view in TensorBoard)")
     return p
 
 
@@ -109,6 +112,13 @@ def main(argv=None) -> int:
 
     print(f"[train] {args.name}: in_size={in_size}, "
           f"batch={cfg.train.batch_size}, steps={cfg.train.max_steps}")
+    if args.profile_steps > 0:
+        # per-step tracing as a first-class feature (SURVEY §5.1: the
+        # reference has none)
+        with jax.profiler.trace(os.path.join(model_dir, "profile")):
+            state = trainer.fit(state, iter(loader),
+                                max_steps=state.step + args.profile_steps,
+                                callback=callback)
     state = trainer.fit(state, iter(loader), callback=callback)
     save_checkpoint(model_dir, state.step,
                     {"variables": state.variables,
