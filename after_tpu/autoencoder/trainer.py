@@ -27,7 +27,7 @@ import optax
 from ..config import AETrainConfig, AutoEncoderConfig, DiscriminatorConfig
 from ..models.autoencoder import AudioCodec
 from ..models.discriminator import EncodecDiscriminator
-from .losses import multi_resolution_stft_loss
+from .losses import multi_resolution_stft_loss, spectral_distance
 
 
 @dataclasses.dataclass
@@ -98,6 +98,12 @@ class AutoencoderTrainer:
             mrstft = multi_resolution_stft_loss(xa, ya, self.tc, self.cfg.sr)
             loss = w_wave * mrstft + w_reg * regloss
             metrics = {"mrstft": mrstft, "regularisation_loss": regloss}
+            if self.tc.spectral_distance_weight > 0:
+                sd = spectral_distance(xa, ya, self.cfg.sr,
+                                       self.tc.spectral_scales,
+                                       self.tc.spectral_mels)
+                loss = loss + w_wave * self.tc.spectral_distance_weight * sd
+                metrics["spectral_distance"] = sd
             if use_gan:
                 loss_gen, _, dmetrics = self.disc.apply(disc_vars, xa, ya)
                 loss = loss + loss_gen

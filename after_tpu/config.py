@@ -221,6 +221,11 @@ class AETrainConfig:
     stft_w_log_mag: float = 1.0
     stft_w_lin_mag: float = 0.0
     perceptual_weighting: bool = True
+    # optional extra multiscale (mel-)spectrogram distance
+    # (reference SpectralDistance, gin-selectable in waveform_losses)
+    spectral_distance_weight: float = 0.0
+    spectral_scales: Tuple[int, ...] = (2048, 1024, 512, 256)
+    spectral_mels: Tuple[int, ...] = (320, 160, 80, 40)
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Encoder1DConfig
-from ..ops.conv import StreamConv1d
+from ..ops.conv import StreamConv1d, StreamConvTranspose1d
 
 
 class V2ConvBlock1D(nn.Module):
@@ -90,6 +90,8 @@ class Encoder1D(nn.Module):
         cfg = self.cfg
         mode = "causal" if cfg.causal else "centered"
         channels = list(cfg.channels)
+        if cfg.upscale_out:
+            channels[-1] = channels[-1] * 4
         if cfg.vae_regularisation:
             channels[-1] = channels[-1] * 2
         ratios = [1] + list(cfg.ratios)
@@ -112,6 +114,22 @@ class Encoder1D(nn.Module):
             h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-5)
         elif cfg.use_tanh:
             h = jnp.tanh(h)
+
+        # upscale_out: transpose-conv chain back to frame rate
+        # (encoder.py:200-236; widened channels are folded back by 4)
+        if cfg.upscale_out:
+            total_ratio = 1
+            for r in ratios:
+                total_ratio *= r
+            c = channels[-1]
+            for i in range(max(total_ratio // 2, 0)):
+                h = StreamConvTranspose1d(c, 4, 2, streaming=self.streaming,
+                                          name=f"upscale_up_{i}")(h)
+                h = StreamConv1d(c, cfg.kernel_size, mode=mode,
+                                 streaming=self.streaming,
+                                 name=f"upscale_conv_{i}")(h)
+            h = StreamConv1d(c // 4, cfg.kernel_size, mode=mode,
+                             streaming=self.streaming, name="upscale_out")(h)
 
         # reparametrise (encoder.py:249-271); channel dim is last in our layout
         if cfg.vae_regularisation:
