@@ -283,3 +283,40 @@ def map_codec(sd: Dict[str, Any], n_stages: int, num_blocks: int = 3,
         dec[f"up_{i}"] = u
     dec["to_out"] = _res_block_nores("decoder.synth.branches.0", sd, use_norm)
     return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# Encoder1D mapping (reference encoder.py:117 -> models/encoder.py)
+# ---------------------------------------------------------------------------
+
+
+def _v2_conv_block(prefix: str, sd):
+    """Reference V2ConvBlock1D branch layout:
+    [bn1=0, act=1, conv1=2, bn2=3, act=4, dropout=5, conv2=6]."""
+    b = prefix + ".net.branches.0."
+    bn1_p, bn1_s = batch_norm(b + "0", sd)
+    bn2_p, bn2_s = batch_norm(b + "3", sd)
+    params = {"bn1": bn1_p, "conv1": wn_conv(b + "2", sd),
+              "bn2": bn2_p, "conv2": wn_conv(b + "6", sd)}
+    stats = {"bn1": bn1_s, "bn2": bn2_s}
+    return params, stats
+
+
+def map_encoder1d(sd: Dict[str, Any], n_channels: int,
+                  prefix: str = "") -> Dict[str, Dict[str, Any]]:
+    """Reference Encoder1D state_dict -> {"params", "batch_stats"}.
+
+    n_channels = len(cfg.channels); net indices 0..n-1 are V2EncoderBlock1D
+    (conv block + pool), index n is the final V2ConvBlock1D."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_channels):
+        base = f"{prefix}net.{i}"
+        cp, cs = _v2_conv_block(base + ".net.0", sd)
+        bp = {"conv": cp, "pool": wn_conv(base + ".net.1", sd)}
+        params[f"block_{i}"] = bp
+        stats[f"block_{i}"] = {"conv": cs}
+    op, os_ = _v2_conv_block(f"{prefix}net.{n_channels}", sd)
+    params["out_block"] = op
+    stats["out_block"] = os_
+    return {"params": params, "batch_stats": stats}

@@ -202,3 +202,98 @@ def test_codec_parity():
     n = min(y.shape[1], y_ref_np.shape[1])
     mse_y = float(np.mean((np.asarray(y)[:, :n] - y_ref_np[:, :n]) ** 2))
     assert mse_y < 1e-6, f"codec decode parity MSE {mse_y}"
+
+
+def test_encoder1d_parity():
+    """Reference Encoder1D (structure encoder) == ported after_tpu Encoder1D."""
+    sys.path.insert(0, "tests")
+    from ref_loader import load_reference_encoder1d
+    import jax.numpy as jnp
+
+    from after_tpu.config import Encoder1DConfig
+    from after_tpu.models import Encoder1D
+    from after_tpu.utils.port_torch import map_encoder1d
+
+    mod = load_reference_encoder1d()
+    torch.manual_seed(0)
+    ref = mod.Encoder1D(in_size=8, channels=[16, 16, 12], ratios=[1, 2],
+                        kernel_size=5, use_tanh=False, average_out=False,
+                        upscale_out=False, ac_regularisation=True).eval()
+    variables = map_encoder1d(ref.state_dict(), n_channels=3)
+
+    cfg = Encoder1DConfig(in_size=8, channels=(16, 16, 12), ratios=(1, 2),
+                          kernel_size=5, causal=False)
+    mine = Encoder1D(cfg)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 32, 8).astype(np.float32)
+    with torch.no_grad():
+        z_ref = ref(torch.from_numpy(x.transpose(0, 2, 1)))
+    z_ref = z_ref.numpy().transpose(0, 2, 1)
+    z, _, _ = mine.apply(variables, jnp.asarray(x))
+    mse = float(np.mean((np.asarray(z) - z_ref) ** 2))
+    assert mse < 1e-6, f"encoder1d parity MSE {mse}"
+
+
+def test_full_sampler_trajectory_parity(ref_transformerv2):
+    """The scan-fused Euler sampler with 3-way CFG reproduces a torch-side
+    Euler loop over the reference DenoiserV2 (final latents < 1e-3 MSE —
+    the BASELINE.md bar — over 8 steps with guidance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from after_tpu.config import AfterConfig, DenoiserConfig, with_overrides
+    from after_tpu.diffusion import RectifiedFlow
+    from after_tpu.utils.port_torch import map_denoiser_v2
+
+    torch.manual_seed(1)
+    n_layers, n_ch, T, E = 2, 8, 32, 128
+    ref = ref_transformerv2.DenoiserV2(
+        n_channels=n_ch, seq_len=T, embed_dim=E, cond_dim=6, tcond_dim=12,
+        noise_embed_dims=32, n_layers=n_layers, mlp_multiplier=2,
+        dropout=0.0, causal=True, pos_emb_type="rotary",
+        local_attention_size=8, attention_chunk_size=4).eval()
+    params = map_denoiser_v2(
+        {("net." + k): v for k, v in ref.state_dict().items()}, n_layers)
+
+    cfg = with_overrides(AfterConfig(), {
+        "denoiser.n_channels": n_ch, "denoiser.seq_len": T,
+        "denoiser.embed_dim": E, "denoiser.noise_embed_dims": 32,
+        "denoiser.n_layers": n_layers, "denoiser.mlp_multiplier": 2,
+        "denoiser.dropout": 0.0,
+        "encoder.in_size": n_ch, "encoder_time.in_size": n_ch,
+    })
+    rf = RectifiedFlow(cfg)
+
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(1, T, n_ch).astype(np.float32)
+    cond = rng.randn(1, 6).astype(np.float32)
+    tcond = rng.randn(1, T, 12).astype(np.float32)
+    nb_steps, gt, gs = 8, 2.0, 1.5
+
+    # torch-side Euler with the reference 3-way CFG (model.py:721-785)
+    drop = -4.0
+    xt = torch.from_numpy(x0.transpose(0, 2, 1))
+    ct = torch.from_numpy(cond)
+    tt = torch.from_numpy(tcond.transpose(0, 2, 1))
+    dt = 1.0 / nb_steps
+    with torch.no_grad():
+        for t in np.linspace(0, 1, nb_steps + 1)[:-1]:
+            full_x = xt.repeat(3, 1, 1)
+            full_t = torch.full((3,), float(t))
+            full_c = torch.cat([ct, drop * torch.ones_like(ct),
+                                drop * torch.ones_like(ct)])
+            full_tc = torch.cat([tt, tt, drop * torch.ones_like(tt)])
+            dx = ref(full_x, full_t, full_c, full_tc)
+            dx_full, dx_tc, dx_none = torch.chunk(dx, 3, 0)
+            total = 0.5 * (gs + gt)
+            factor = gt / max(gs, 0.01)
+            dx = dx_none + total * (dx_tc + factor * (dx_full - dx_tc)
+                                    - dx_none)
+            xt = xt + dx * dt
+    x_ref = xt.numpy().transpose(0, 2, 1)
+
+    x = rf.sample({"params": params}, jnp.asarray(x0), jnp.asarray(cond),
+                  jnp.asarray(tcond), nb_steps, gt, gs)
+    mse = float(np.mean((np.asarray(x) - x_ref) ** 2))
+    assert mse < 1e-3, f"sampler trajectory parity MSE {mse}"
