@@ -175,5 +175,7 @@ class AutoencoderTrainer:
                     step=step + 1)
 
             if callback is not None:
-                callback(state, {k: float(v) for k, v in metrics.items()})
+                # metrics stay as device arrays: converting would force a
+                # host sync every step (see MetricsLogger for lazy flush)
+                callback(state, metrics)
         return state

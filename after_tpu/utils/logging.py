@@ -32,6 +32,7 @@ class MetricsLogger:
         self.flush_every = flush_every
         self._sums = defaultdict(float)
         self._counts = defaultdict(int)
+        self._pending: Dict[str, list] = {}
         self._jsonl = open(os.path.join(model_dir, "metrics.jsonl"), "a")
         self._tb = None
         if use_tensorboard:
@@ -45,15 +46,20 @@ class MetricsLogger:
         self._steps_since = 0
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
+        # values may be device arrays; keep them lazy — only flush() forces
+        # the host sync, so training dispatch stays async between flushes
         for k, v in metrics.items():
-            self._sums[k] += float(v)
-            self._counts[k] += 1
+            self._pending.setdefault(k, []).append(v)
         self._steps_since += 1
         if step % self.flush_every == 0 and step > 0:
             self.flush(step)
 
     def flush(self, step: int) -> None:
         now = time.perf_counter()
+        for k, vals in self._pending.items():
+            self._sums[k] += float(sum(float(v) for v in vals))
+            self._counts[k] += len(vals)
+        self._pending.clear()
         avg = {k: self._sums[k] / max(self._counts[k], 1)
                for k in self._sums}
         avg["steps_per_sec"] = self._steps_since / max(now - self._t_last,
