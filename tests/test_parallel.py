@@ -34,3 +34,35 @@ def test_dryrun_multichip_full_train_step():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_cfg_inference():
+    """The 3xCFG batched sampler runs SPMD with the batch sharded over the
+    data axis (SURVEY §2.4: optional inference sharding)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from after_tpu.parallel import make_mesh
+    import sys
+    sys.path.insert(0, "tests")
+    from test_diffusion import micro_config
+    from after_tpu.diffusion import RectifiedFlow
+
+    cfg = micro_config()
+    rf = RectifiedFlow(cfg)
+    variables = rf.init(jax.random.PRNGKey(0), 4)
+    mesh = make_mesh(n_data=4, n_model=1)
+    bs = NamedSharding(mesh, P("data"))
+    B, T, C = 4, 32, 8
+    x0 = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (B, T, C)), bs)
+    cond = jax.device_put(jnp.zeros((B, cfg.zt_channels)), bs)
+    tcond = jax.device_put(jnp.zeros((B, T, cfg.zs_channels)), bs)
+    with mesh:
+        y = rf.sample(variables["net"], x0, cond, tcond, 2, 2.0, 1.0)
+        jax.block_until_ready(y)
+    assert y.shape == (B, T, C)
+    # unsharded run must agree
+    y2 = rf.sample(variables["net"], jax.device_get(x0),
+                   jax.device_get(cond), jax.device_get(tcond), 2, 2.0, 1.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-4)
