@@ -183,3 +183,16 @@ def test_fsq():
     # straight-through gradient flows
     g = jax.grad(lambda z_: jnp.sum(fsq.quantize(z_)))(z)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_linear_encoder():
+    from after_tpu.models import LinearEncoder
+    for reg in ("none", "ac", "vae"):
+        enc = LinearEncoder(in_size=16, channels=(32, 32, 8),
+                            regularisation=reg)
+        x = jnp.zeros((2, 16))
+        rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+        v = enc.init(rngs, x)
+        z, mean, kl = enc.apply(v, x, rngs={"sample": jax.random.PRNGKey(2)})
+        assert z.shape == (2, 8)
+        assert np.isfinite(float(kl))
