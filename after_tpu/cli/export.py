@@ -80,14 +80,15 @@ def export_autoencoder(args) -> int:
     from jax import export as jexport
     import json
 
-    from ..config import get_ae_config
+    from ..config import load_codec_config, with_overrides
     from ..models import AudioCodec
     from ..streaming.state import init_stream_state, zero_cache
     from ..utils.checkpoint import restore_checkpoint
 
     restored = restore_checkpoint(args.model_path, args.step)
     codec_vars = restored.get("codec_vars", restored)
-    cfg = get_ae_config(causal=True, use_norm=False)
+    cfg = with_overrides(load_codec_config(args.model_path),
+                         {"causal": True, "use_norm": False})
     codec = AudioCodec(cfg, streaming=True)
 
     out = args.out or os.path.join(args.model_path, "codec_export")

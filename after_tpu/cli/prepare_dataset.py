@@ -74,9 +74,10 @@ class CodecEncoderFn:
         from ..models import AudioCodec
         from ..utils.checkpoint import restore_checkpoint
 
+        from ..config import load_codec_config
+
         tree = restore_checkpoint(ckpt_dir)
-        self.cfg = get_ae_config(**tree.get("config", {})) \
-            if isinstance(tree, dict) and "config" in tree else get_ae_config()
+        self.cfg = load_codec_config(ckpt_dir)
         self.codec = AudioCodec(self.cfg)
         self.variables = tree["codec_vars"] if "codec_vars" in tree else tree
         self.ratio = self.cfg.ratio

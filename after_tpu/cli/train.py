@@ -150,13 +150,13 @@ def make_codec_decode(ckpt_dir: str):
     with the emb model, model.py:517-561)."""
     import jax
     import jax.numpy as jnp
-    from ..config import get_ae_config
+    from ..config import load_codec_config
     from ..models import AudioCodec
     from ..utils.checkpoint import restore_checkpoint
 
     tree = restore_checkpoint(ckpt_dir)
     codec_vars = tree.get("codec_vars", tree)
-    codec = AudioCodec(get_ae_config())
+    codec = AudioCodec(load_codec_config(ckpt_dir))
 
     @jax.jit
     def dec(z):

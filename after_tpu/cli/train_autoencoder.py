@@ -58,7 +58,7 @@ def make_wave_collate(num_signal: int, augment: bool, seed: int = 0):
 def main(argv=None) -> int:
     import jax
 
-    from ..config import AETrainConfig, get_ae_config
+    from ..config import AETrainConfig, ae_to_json, get_ae_config
     from ..dataset import CombinedDataset, DataLoader
     from ..autoencoder import AutoencoderTrainer
     from ..utils.checkpoint import restore_checkpoint, save_checkpoint
@@ -102,12 +102,14 @@ def main(argv=None) -> int:
         if st.step % tc.steps_save == 0 and st.step > 0:
             save_checkpoint(model_dir, st.step,
                             {"codec_vars": st.codec_vars,
-                             "disc_vars": st.disc_vars, "step": st.step})
+                             "disc_vars": st.disc_vars, "step": st.step},
+                            config_json=ae_to_json(ae_cfg))
 
     print(f"[train_autoencoder] {args.name}: ratio={ae_cfg.ratio}, "
           f"batch={tc.batch_size}")
     state = trainer.fit(state, iter(loader), callback=callback)
     save_checkpoint(model_dir, state.step,
                     {"codec_vars": state.codec_vars,
-                     "disc_vars": state.disc_vars, "step": state.step})
+                     "disc_vars": state.disc_vars, "step": state.step},
+                    config_json=ae_to_json(ae_cfg))
     return 0

@@ -429,3 +429,22 @@ def get_ae_config(**overrides: Any) -> AutoEncoderConfig:
     if overrides:
         cfg = with_overrides(cfg, overrides)
     return cfg
+
+
+def ae_to_json(cfg: AutoEncoderConfig) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def ae_from_json(s: str) -> AutoEncoderConfig:
+    return _build(AutoEncoderConfig, json.loads(s))
+
+
+def load_codec_config(ckpt_dir: str) -> AutoEncoderConfig:
+    """Codec architecture config stored next to a codec checkpoint
+    (falls back to the baseAE preset when absent)."""
+    import os
+    path = os.path.join(ckpt_dir, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return ae_from_json(f.read())
+    return AutoEncoderConfig()
