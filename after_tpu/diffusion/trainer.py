@@ -124,7 +124,7 @@ class DiffusionTrainer:
         cfg, tc, rf = self.cfg, self.tc, self.rf
         x1, x1_cond, x1_time_cond = (batch["x"], batch["x_cond"],
                                      batch["x_time_cond"])
-        ks = jax.random.split(rng, 8)
+        ks = jax.random.split(rng, 9)
 
         # rebuild full variable dicts with the (possibly differentiated) params
         def vars_of(name):
@@ -179,7 +179,7 @@ class DiffusionTrainer:
         if rf.classifier is not None and not phase1:
             (cond_pred, _, _), _ = rf.classifier.apply(
                 variables["classifier"], time_cond, training=True,
-                rngs={"dropout": ks[5]}, mutable=["batch_stats"])
+                rngs={"dropout": ks[8]}, mutable=["batch_stats"])
             classifier_loss = self._adversarial_loss(
                 cond_pred, jax.lax.stop_gradient(cond))
         else:
