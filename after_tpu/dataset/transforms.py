@@ -180,6 +180,12 @@ def estimate_beats(x: np.ndarray, sr: int,
     if not valid.any():
         return 120.0, np.array([])
     period = lags[valid][np.argmax(ac[valid])]
+    # tempo-octave disambiguation: if half the period is nearly as strong,
+    # prefer it (autocorrelation always peaks at integer multiples)
+    fps_lag = ac[np.argmin(np.abs(lags - period))]
+    half_idx = np.argmin(np.abs(lags - period / 2))
+    if (period / 2) >= 60 / 220 and ac[half_idx] >= 0.5 * fps_lag:
+        period = period / 2
     bpm = 60.0 / period
     # phase: maximise onset energy at beat positions
     phases = np.arange(0, period, 1 / fps)

@@ -1,0 +1,81 @@
+"""Host transform tests: PSTS pitch/stretch, phase mangle, descriptors,
+beat clock."""
+
+import numpy as np
+
+from after_tpu.dataset.transforms import (audio_descriptors, estimate_beats,
+                                          get_beat_signal,
+                                          pitch_shift_time_stretch,
+                                          random_phase_mangle, random_silence)
+
+
+def _dominant_freq(x, sr):
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    return np.fft.rfftfreq(len(x), 1 / sr)[spec.argmax()]
+
+
+def test_pitch_shift_moves_fundamental():
+    sr = 22050
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    up = pitch_shift_time_stretch(x, sr, semitones=12.0)
+    f = _dominant_freq(up[2000:-2000], sr)
+    assert abs(f - 880) < 30, f
+    down = pitch_shift_time_stretch(x, sr, semitones=-12.0)
+    f = _dominant_freq(down[2000:-2000], sr)
+    assert abs(f - 220) < 15, f
+
+
+def test_time_stretch_changes_duration_not_pitch():
+    sr = 22050
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 330 * t).astype(np.float32)
+    y = pitch_shift_time_stretch(x, sr, semitones=0.0, stretch=2.0)
+    assert abs(len(y) - 2 * len(x)) < sr // 10
+    f = _dominant_freq(y[4000:-4000], sr)
+    assert abs(f - 330) < 15, f
+
+
+def test_phase_mangle_preserves_magnitude_spectrum():
+    sr = 44100
+    rng = np.random.RandomState(0)
+    x = rng.randn(sr).astype(np.float32) * 0.1
+    y = random_phase_mangle(x, rng=rng, sr=sr)
+    sx = np.abs(np.fft.rfft(x))[50:-50]
+    sy = np.abs(np.fft.rfft(y))[50:-50]
+    # allpass: magnitudes essentially unchanged
+    rel = np.abs(sx - sy) / (sx + 1e-6)
+    assert np.median(rel) < 0.05
+
+
+def test_random_silence():
+    rng = np.random.RandomState(0)
+    x = np.ones(1000, np.float32)
+    y = random_silence(x, p=1.0, rng=rng)
+    assert (y == 0).any() and (y == 1).any()
+
+
+def test_audio_descriptors_track_brightness():
+    sr = 22050
+    t = np.arange(sr) / sr
+    dull = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    bright = np.sin(2 * np.pi * 4000 * t).astype(np.float32)
+    d1 = audio_descriptors(dull, sr, n_latent=32)
+    d2 = audio_descriptors(bright, sr, n_latent=32)
+    assert d2["centroid"].mean() > d1["centroid"].mean() * 3
+    assert d1["centroid"].shape == (32,)
+
+
+def test_beat_clock():
+    sr = 22050
+    bpm_true = 120.0
+    period = 60 / bpm_true
+    x = np.zeros(sr * 4, np.float32)
+    for b in np.arange(0, 4, period):
+        i = int(b * sr)
+        x[i:i + 200] += np.hanning(200).astype(np.float32)
+    bpm, beats = estimate_beats(x, sr)
+    assert abs(bpm - bpm_true) < 6 or abs(bpm - 2 * bpm_true) < 12, bpm
+    sig = get_beat_signal(beats, 4.0, 128)
+    assert sig.shape == (128,)
+    assert 0 <= sig.min() and sig.max() < 1.0001
