@@ -55,12 +55,17 @@ class AutoencoderTrainer:
             self.disc = EncodecDiscriminator(self.dcfg)
 
         lr = optax.exponential_decay(self.tc.lr, 1, self.tc.lr_decay)
-        self.optimizer = optax.chain(
+        # apply_if_finite: skip (rather than apply) updates from a batch
+        # whose backward produced non-finite gradients, keeping params and
+        # Adam moments clean (see diffusion/trainer.py for the failure mode).
+        self.optimizer = optax.apply_if_finite(optax.chain(
             optax.clip_by_global_norm(self.tc.grad_clip),
-            optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=0.01))
-        self.disc_optimizer = optax.chain(
+            optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=0.01)),
+            max_consecutive_errors=10000)
+        self.disc_optimizer = optax.apply_if_finite(optax.chain(
             optax.clip_by_global_norm(self.tc.grad_clip_disc),
-            optax.adamw(lr, b1=0.8, b2=0.9, weight_decay=0.01))
+            optax.adamw(lr, b1=0.8, b2=0.9, weight_decay=0.01)),
+            max_consecutive_errors=10000)
 
     def init(self, rng: jax.Array, batch_size: int = 1) -> AETrainState:
         # jitted init (see CLAUDE.md: eager init is slow on remote backends)

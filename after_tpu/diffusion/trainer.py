@@ -36,6 +36,12 @@ def tree_zeros_like_mask(tree, keep: Dict[str, bool]):
             for k, v in tree.items()}
 
 
+def _all_finite(tree) -> jnp.ndarray:
+    """Scalar bool: every leaf of `tree` is finite."""
+    leaves = [jnp.isfinite(g).all() for g in jax.tree_util.tree_leaves(tree)]
+    return jnp.stack(leaves).all() if leaves else jnp.asarray(True)
+
+
 def shuffle_time_chunks(rng: jax.Array, x: jnp.ndarray,
                         sizes: Tuple[int, ...]) -> jnp.ndarray:
     """Per-sample random permutation of time chunks (model.py:288-298).
@@ -79,11 +85,19 @@ class DiffusionTrainer:
         self.cfg = cfg
         self.tc = cfg.train
         self.rf = rf or RectifiedFlow(cfg)
-        self.optimizer = optax.chain(
+        # apply_if_finite: a degenerate batch (e.g. long silence -> constant
+        # latents -> zero batch variance in the ECAPA BatchNorms) makes the
+        # BN backward blow up (~1/sqrt(eps) per layer, compounding to 1e30+
+        # and overflowing to NaN inside the first conv's grad reduction).
+        # Skipping the poisoned update keeps the params and Adam moments
+        # clean; `skipped_nonfinite` in the metrics counts occurrences.
+        self.optimizer = optax.apply_if_finite(optax.chain(
             optax.clip_by_global_norm(self.tc.grad_clip),
-            optax.adamw(self.tc.lr, b1=0.9, b2=0.999, weight_decay=0.01))
-        self.cls_optimizer = optax.adamw(self.tc.lr, b1=0.9, b2=0.999,
-                                         weight_decay=0.01)
+            optax.adamw(self.tc.lr, b1=0.9, b2=0.999, weight_decay=0.01)),
+            max_consecutive_errors=10000)
+        self.cls_optimizer = optax.apply_if_finite(
+            optax.adamw(self.tc.lr, b1=0.9, b2=0.999, weight_decay=0.01),
+            max_consecutive_errors=10000)
 
     # ------------------------------------------------------------------
 
@@ -304,12 +318,19 @@ class DiffusionTrainer:
                                                    main_params)
         updates = tree_zeros_like_mask(updates, keep)
         main_params = optax.apply_updates(main_params, updates)
+        metrics["skipped_nonfinite"] = opt_state.total_notfinite
+
+        # a poisoned batch must not leak into the BN running stats either
+        grads_ok = _all_finite(grads)
 
         # write back params + batch_stats
         for name in main_params:
             variables[name] = {**variables[name], "params": main_params[name]}
         for name, upd in bs_updates.items():
             if upd:
+                upd = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(grads_ok, n, o), upd,
+                    {k: variables[name][k] for k in upd})
                 variables[name] = {**variables[name], **upd}
 
         decay = self.tc.ema_decay
@@ -350,6 +371,11 @@ class DiffusionTrainer:
             grads, cls_opt_state, variables["classifier"]["params"])
         new_params = optax.apply_updates(variables["classifier"]["params"],
                                          updates)
+        grads_ok = _all_finite(grads)
+        if upd:
+            upd = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(grads_ok, n, o), upd,
+                {k: variables["classifier"][k] for k in upd})
         variables["classifier"] = {**variables["classifier"],
                                    "params": new_params, **upd}
         return (variables, cls_opt_state), {"classifier_loss": loss}

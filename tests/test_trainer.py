@@ -89,3 +89,44 @@ def test_params_change_and_net_only_in_phase1_frozen_encoders():
                                state.variables["encoder"]["params"]))
     for a, b in zip(e0, e1):
         np.testing.assert_array_equal(a, b)
+
+
+def test_nonfinite_batch_skips_update_and_batch_stats():
+    """A batch whose backward produces non-finite gradients must not poison
+    params, Adam moments, or BN running stats (optax.apply_if_finite guard;
+    zero-batch-variance BN backward explodes on degenerate/silent batches)."""
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {"train.timbre_warmup": 0,
+                               "train.batch_size": 2})
+    tr = DiffusionTrainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0), 2)
+    before = jax.tree_util.tree_map(np.asarray, state.variables)
+
+    z = np.full((2, 32, 8), np.nan, np.float32)
+    batch = {"x": z, "x_cond": z,
+             "x_time_cond": np.zeros((2, 32, 8), np.float32)}
+    (variables, opt_state, ema), metrics = tr.train_step(
+        (state.variables, state.opt_state, state.ema_params), batch,
+        jax.random.PRNGKey(1), False, True, True, False, 0.0, 1.0)
+
+    assert int(metrics["skipped_nonfinite"]) == 1
+    after = jax.tree_util.tree_map(np.asarray, variables)
+    for name in ("net", "encoder", "encoder_time"):
+        for a, b in zip(jax.tree_util.tree_leaves(before[name]),
+                        jax.tree_util.tree_leaves(after[name])):
+            np.testing.assert_array_equal(a, b)
+
+    # a good batch afterwards still applies normally
+    good = np.random.RandomState(0).randn(2, 32, 8).astype(np.float32)
+    batch = {"x": good, "x_cond": good,
+             "x_time_cond": np.zeros((2, 32, 8), np.float32)}
+    (variables, _, _), metrics = tr.train_step(
+        (variables, opt_state, ema), batch,
+        jax.random.PRNGKey(2), False, True, True, False, 0.0, 1.0)
+    assert np.isfinite(float(metrics["loss"]))
+    k0 = before["net"]["params"]["patchify"]["kernel"]
+    k1 = np.asarray(variables["net"]["params"]["patchify"]["kernel"])
+    assert not np.allclose(k0, k1)
+    assert all(np.isfinite(l).all()
+               for l in jax.tree_util.tree_leaves(
+                   jax.tree_util.tree_map(np.asarray, variables)))
