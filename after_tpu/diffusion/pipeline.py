@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import AfterConfig
 from ..models import AudioCodec
+from ..utils.precision import cast_floating, resolve_dtype
 from .rectified_flow import RectifiedFlow
 
 
@@ -26,10 +27,42 @@ class TransferPipeline:
     variables = {"codec": ..., "diffusion": {"net"/"encoder"/...}}
     """
 
-    def __init__(self, cfg: AfterConfig):
+    def __init__(self, cfg: AfterConfig, compute_dtype=None):
+        """compute_dtype: e.g. jnp.bfloat16 runs codec + denoiser compute at
+        that precision (params stored f32; Euler state and conditioning
+        encoders stay f32; output audio is f32)."""
         self.cfg = cfg
+        self.compute_dtype = resolve_dtype(compute_dtype)
         self.codec = AudioCodec(cfg.autoencoder)
         self.rf = RectifiedFlow(cfg)
+
+    def prepare_variables(self, variables):
+        """One-time host-side cast to the compute dtype; the in-graph casts
+        then fold to no-ops (and HBM holds the params at half size)."""
+        if self.compute_dtype is None:
+            return variables
+        return cast_floating(variables, self.compute_dtype)
+
+    def _codec_apply(self, variables, x, method):
+        cd = self.compute_dtype
+        if cd is None:
+            return self.codec.apply(variables["codec"], x, method=method)
+        out = self.codec.apply(
+            cast_floating(variables["codec"], cd), x.astype(cd),
+            method=method)
+        return out.astype(jnp.float32)
+
+    def _encode_cond(self, variables, z, which: str):
+        """Run the timbre/structure encoder at the compute dtype."""
+        cd = self.compute_dtype
+        dv = variables["diffusion"]
+        if cd is not None:
+            dv = cast_floating(dv, cd)   # unused subtrees are DCE'd by XLA
+            z = z.astype(cd)
+        fn = (self.rf.encode_timbre if which == "timbre"
+              else self.rf.encode_structure)
+        (out, _, _), _ = fn(dv, z)
+        return out.astype(jnp.float32)
 
     def init(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
         k1, k2 = jax.random.split(rng)
@@ -43,27 +76,23 @@ class TransferPipeline:
     @partial(jax.jit, static_argnums=0)
     def encode(self, variables, audio: jnp.ndarray) -> jnp.ndarray:
         """(B, T, 1) waveform -> (B, T/ratio, z) codec latents."""
-        return self.codec.apply(variables["codec"], audio,
-                                method=AudioCodec.encode)
+        return self._codec_apply(variables, audio, AudioCodec.encode)
 
     @partial(jax.jit, static_argnums=0)
     def decode(self, variables, z: jnp.ndarray) -> jnp.ndarray:
-        return self.codec.apply(variables["codec"], z,
-                                method=AudioCodec.decode)
+        return self._codec_apply(variables, z, AudioCodec.decode)
 
     # -- conditioning entry points ----------------------------------------
 
     @partial(jax.jit, static_argnums=0)
     def timbre(self, variables, z: jnp.ndarray) -> jnp.ndarray:
         """Codec latents -> global timbre vector (B, zt)."""
-        (zt, _, _), _ = self.rf.encode_timbre(variables["diffusion"], z)
-        return zt
+        return self._encode_cond(variables, z, "timbre")
 
     @partial(jax.jit, static_argnums=0)
     def structure(self, variables, z: jnp.ndarray) -> jnp.ndarray:
         """Codec latents -> per-frame structure codes (B, T, zs)."""
-        (zs, _, _), _ = self.rf.encode_structure(variables["diffusion"], z)
-        return zs
+        return self._encode_cond(variables, z, "structure")
 
     # -- generation --------------------------------------------------------
 
@@ -71,7 +100,8 @@ class TransferPipeline:
                 guidance_timbre: float = 1.0, guidance_structure: float = 1.0):
         return self.rf.sample(variables["diffusion"]["net"], x0, cond,
                               time_cond, nb_steps, guidance_timbre,
-                              guidance_structure)
+                              guidance_structure,
+                              compute_dtype=self.compute_dtype)
 
     @partial(jax.jit, static_argnums=(0, 4))
     def transfer(self, variables, audio_structure: jnp.ndarray,
@@ -86,17 +116,15 @@ class TransferPipeline:
         20-step sample, decode).
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        z_struct = self.codec.apply(variables["codec"], audio_structure,
-                                    method=AudioCodec.encode)
-        z_timbre = self.codec.apply(variables["codec"], audio_timbre,
-                                    method=AudioCodec.encode)
-        (time_cond, _, _), _ = self.rf.encode_structure(
-            variables["diffusion"], z_struct)
-        (cond, _, _), _ = self.rf.encode_timbre(
-            variables["diffusion"], z_timbre)
+        z_struct = self._codec_apply(variables, audio_structure,
+                                     AudioCodec.encode)
+        z_timbre = self._codec_apply(variables, audio_timbre,
+                                     AudioCodec.encode)
+        time_cond = self._encode_cond(variables, z_struct, "structure")
+        cond = self._encode_cond(variables, z_timbre, "timbre")
         x0 = jax.random.normal(rng, z_struct.shape)
         z_out = self.rf.sample(variables["diffusion"]["net"], x0, cond,
                                time_cond, nb_steps, guidance_timbre,
-                               guidance_structure)
-        return self.codec.apply(variables["codec"], z_out,
-                                method=AudioCodec.decode)
+                               guidance_structure,
+                               compute_dtype=self.compute_dtype)
+        return self._codec_apply(variables, z_out, AudioCodec.decode)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import AfterConfig
 from ..models import Denoiser, ECAPAEncoder, Encoder1D
+from ..utils.precision import cast_floating
 
 
 class RectifiedFlow:
@@ -180,27 +181,37 @@ class RectifiedFlow:
         dx = dx_none + total * (dx_tc + factor * (dx_full - dx_tc) - dx_none)
         return (dx, new_cache) if cache is not None else dx
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 5, 8))
     def sample(self, net_params, x0, cond, time_cond, nb_steps: int,
-               guidance_timbre: float = 1.0, guidance_structure: float = 1.0):
+               guidance_timbre: float = 1.0, guidance_structure: float = 1.0,
+               compute_dtype=None):
         """Euler integration of the rectified flow, fused with lax.scan
-        (replaces the Python loop at model.py:763-785)."""
+        (replaces the Python loop at model.py:763-785).
+
+        With `compute_dtype` (e.g. jnp.bfloat16) the denoiser runs at that
+        precision while the Euler state accumulates in x0's dtype.
+        """
         dt = 1.0 / nb_steps
         t_values = jnp.linspace(0.0, 1.0, nb_steps + 1)[:-1]
+        if compute_dtype is not None:
+            net_params = cast_floating(net_params, compute_dtype)
+            cond = cond.astype(compute_dtype)
+            time_cond = time_cond.astype(compute_dtype)
 
         def step(x, t):
-            time = jnp.full((x.shape[0],), t)
-            dx = self.model_forward(net_params, x, time, cond, time_cond,
+            xi = (x if compute_dtype is None else x.astype(compute_dtype))
+            time = jnp.full((x.shape[0],), t, xi.dtype)
+            dx = self.model_forward(net_params, xi, time, cond, time_cond,
                                     guidance_timbre, guidance_structure)
-            return x + dx * dt, None
+            return x + dx.astype(x.dtype) * dt, None
 
         x, _ = jax.lax.scan(step, x0, t_values)
         return x
 
-    @partial(jax.jit, static_argnums=(0, 6))
+    @partial(jax.jit, static_argnums=(0, 6, 9))
     def sample_stream(self, net_params, cache, x0, cond, time_cond,
                       nb_steps: int, guidance_timbre: float = 1.0,
-                      guidance_structure: float = 1.0):
+                      guidance_structure: float = 1.0, compute_dtype=None):
         """One streaming buffer: denoise `chunk` frames with nb_steps Euler
         steps, each step indexing its own KV-cache slot; returns (x, cache).
 
@@ -209,15 +220,22 @@ class RectifiedFlow:
         """
         dt = 1.0 / nb_steps
         t_values = jnp.linspace(0.0, 1.0, nb_steps + 1)[:-1]
+        if compute_dtype is not None:
+            # KV caches ride the carry, so they must already be at
+            # compute_dtype (Streamer.init_state handles this)
+            net_params = cast_floating(net_params, compute_dtype)
+            cond = cond.astype(compute_dtype)
+            time_cond = time_cond.astype(compute_dtype)
 
         def step(carry, it):
             x, cache = carry
             i, t = it
-            time = jnp.full((x.shape[0],), t)
+            xi = (x if compute_dtype is None else x.astype(compute_dtype))
+            time = jnp.full((x.shape[0],), t, xi.dtype)
             dx, cache = self.model_forward(
-                net_params, x, time, cond, time_cond, guidance_timbre,
+                net_params, xi, time, cond, time_cond, guidance_timbre,
                 guidance_structure, cache=cache, cache_index=i)
-            return (x + dx * dt, cache), None
+            return (x + dx.astype(x.dtype) * dt, cache), None
 
         steps = (jnp.arange(nb_steps), t_values)
         (x, cache), _ = jax.lax.scan(step, (x0, cache), steps)

@@ -37,13 +37,17 @@ def fourier_features(t: jnp.ndarray, num_channels: int,
     """Noise-level embedding (reference PositionalEmbedding, transformerv2.py:13).
 
     t: (B,) scalar times in [0, 1] -> (B, num_channels) [cos | sin] features.
+    The trig runs in f32 for accuracy; the result is returned at t's dtype so
+    a bf16 graph stays bf16 (no silent upcast through the AdaLN modulations).
     """
-    t = t.reshape(-1) * factor
+    out_dtype = t.dtype
+    t = t.reshape(-1).astype(jnp.float32) * factor
     half = num_channels // 2
     freqs = jnp.arange(half, dtype=jnp.float32) / half
     freqs = (1.0 / max_positions) ** freqs
     ang = t[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)],
+                           axis=-1).astype(out_dtype)
 
 
 class MLP(nn.Module):

@@ -105,6 +105,14 @@ class StreamConv1d(nn.Module):
                                                           -bound, bound))
                 if self.use_bias else None)
 
+        # raw lax.conv does not auto-promote like flax Dense; bring x and
+        # kernel to a common dtype (no-op in pure-f32 or pure-bf16 graphs)
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        if bias is not None:
+            bias = bias.astype(dtype)
+
         if self.mode == "valid":
             left = right = 0
         else:
@@ -187,6 +195,12 @@ class StreamConvTranspose1d(nn.Module):
                                key, (self.features,), self.param_dtype,
                                -bound, bound))
                 if self.use_bias else None)
+
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        if bias is not None:
+            bias = bias.astype(dtype)
 
         # Full (un-trimmed) transposed conv: length in*f + (k - f).
         y = jax.lax.conv_transpose(

@@ -42,12 +42,14 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 def apply_rotary(x: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     """Apply rotary embedding to (..., T, head_dim) given (T, rot_dim) angles.
 
-    Features beyond rot_dim pass through unchanged.
+    Features beyond rot_dim pass through unchanged.  cos/sin run at the
+    angles' precision (f32 host constants) and are applied at x's dtype so a
+    bf16 attention stack is not upcast.
     """
     rot_dim = angles.shape[-1]
     x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
-    cos = jnp.cos(angles)
-    sin = jnp.sin(angles)
+    cos = jnp.cos(angles).astype(x.dtype)
+    sin = jnp.sin(angles).astype(x.dtype)
     x_rot = x_rot * cos + _rotate_half(x_rot) * sin
     return jnp.concatenate([x_rot, x_pass], axis=-1)
 

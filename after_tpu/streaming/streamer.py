@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..config import AfterConfig
 from ..models import AudioCodec, ECAPAEncoder, Encoder1D
 from ..diffusion.rectified_flow import RectifiedFlow
+from ..utils.precision import cast_floating, resolve_dtype
 from .state import zero_cache
 
 
@@ -59,12 +60,17 @@ jax.tree_util.register_dataclass(
 class Streamer:
 
     def __init__(self, cfg: AfterConfig, chunk_size: int = 4,
-                 latent_range: float = 1.0):
+                 latent_range: float = 1.0, compute_dtype=None):
+        """compute_dtype: e.g. jnp.bfloat16 runs the per-buffer compute at
+        that precision (conv/KV caches included); audio/latent I/O stays
+        f32.  Call `prepare_variables` once so the per-call param casts
+        fold away."""
         if not cfg.autoencoder.causal:
             raise ValueError(
                 "streaming requires a causal codec config "
                 "(get_config(..., 'streaming'))")
         self.cfg = cfg
+        self.compute_dtype = resolve_dtype(compute_dtype)
         self.chunk_size = chunk_size
         self.latent_range = latent_range
         self.ratio = cfg.autoencoder.ratio
@@ -78,6 +84,17 @@ class Streamer:
         self.encoder = ECAPAEncoder(cfg.encoder)
 
     # ------------------------------------------------------------------
+
+    def _cd(self, tree):
+        """Cast params/inputs to the compute dtype (no-op when unset or when
+        `prepare_variables` already cast them)."""
+        return (tree if self.compute_dtype is None
+                else cast_floating(tree, self.compute_dtype))
+
+    def prepare_variables(self, variables):
+        """One-time host-side cast of the variables to the compute dtype so
+        the in-graph casts in each step function become no-ops."""
+        return self._cd(variables)
 
     def init_state(self, variables, batch_size: int = 1) -> StreamState:
         """Zeroed stream state for `batch_size` parallel voices."""
@@ -106,13 +123,16 @@ class Streamer:
             jnp.zeros((3 * B, T, z_ch)), jnp.zeros((3 * B,)),
             jnp.zeros((3 * B, cfg.zt_channels)),
             jnp.zeros((3 * B, T, cfg.zs_channels)))["cache"]))()
-        return StreamState(
+        state = StreamState(
             codec_struct=enc_cache,
             codec_timbre=jax.tree_util.tree_map(jnp.copy, enc_cache),
             codec_dec=dec_cache,
             enc_time=et_cache,
             denoiser=dn_cache,
             prev_timbre=jnp.zeros((B, self.n_signal_timbre, z_ch)))
+        # caches ride through the compute-dtype graph, so they live at that
+        # dtype (conv ring buffers, KV caches, the timbre latent ring)
+        return self._cd(state)
 
     # ------------------------------------------------------------------
     # step functions (each jitted once)
@@ -120,8 +140,8 @@ class Streamer:
 
     def _codec_encode(self, variables, cache, audio):
         z, aux = self.codec.apply(
-            {**variables["codec"], "cache": cache}, audio,
-            method=AudioCodec.encode, mutable=["cache"])
+            {**self._cd(variables["codec"]), "cache": cache},
+            self._cd(audio), method=AudioCodec.encode, mutable=["cache"])
         return z, aux["cache"]
 
     @partial(jax.jit, static_argnums=0)
@@ -132,14 +152,15 @@ class Streamer:
         z, enc_cache = self._codec_encode(variables, state.codec_struct, audio)
         if self.enc_time is not None:
             zs, aux = self.enc_time.apply(
-                {**variables["diffusion"]["encoder_time"],
+                {**self._cd(variables["diffusion"]["encoder_time"]),
                  "cache": state.enc_time}, z, mutable=["cache"])
             zs = zs[0]
             et_cache = aux["cache"]
         else:
             zs, et_cache = z, state.enc_time
-        return zs, dataclasses.replace(state, codec_struct=enc_cache,
-                                       enc_time=et_cache)
+        return (zs.astype(jnp.float32),
+                dataclasses.replace(state, codec_struct=enc_cache,
+                                    enc_time=et_cache))
 
     @partial(jax.jit, static_argnums=0)
     def timbre(self, variables, state: StreamState, audio: jnp.ndarray
@@ -148,8 +169,9 @@ class Streamer:
         ring buffer (export.py:419-430)."""
         z, enc_cache = self._codec_encode(variables, state.codec_timbre, audio)
         ring = jnp.concatenate([state.prev_timbre, z], axis=1)[:, z.shape[1]:]
-        zt, _, _ = self.encoder.apply(variables["diffusion"]["encoder"], ring)
-        zt = zt / self.latent_range
+        zt, _, _ = self.encoder.apply(
+            self._cd(variables["diffusion"]["encoder"]), ring)
+        zt = zt.astype(jnp.float32) / self.latent_range
         return zt, dataclasses.replace(state, codec_timbre=enc_cache,
                                        prev_timbre=ring)
 
@@ -167,16 +189,18 @@ class Streamer:
         x0 = jax.random.normal(rng, (B, T, self.cfg.denoiser.n_channels))
         x, dn_cache = self.rf.sample_stream(
             variables["diffusion"]["net"], state.denoiser, x0, zsem,
-            time_cond, nb_steps, guidance_timbre, guidance_structure)
+            time_cond, nb_steps, guidance_timbre, guidance_structure,
+            compute_dtype=self.compute_dtype)
         return x, dataclasses.replace(state, denoiser=dn_cache)
 
     @partial(jax.jit, static_argnums=0)
     def decode(self, variables, state: StreamState, z: jnp.ndarray
                ) -> Tuple[jnp.ndarray, StreamState]:
         y, aux = self.codec.apply(
-            {**variables["codec"], "cache": state.codec_dec}, z,
-            method=AudioCodec.decode, mutable=["cache"])
-        return y, dataclasses.replace(state, codec_dec=aux["cache"])
+            {**self._cd(variables["codec"]), "cache": state.codec_dec},
+            self._cd(z), method=AudioCodec.decode, mutable=["cache"])
+        return (y.astype(jnp.float32),
+                dataclasses.replace(state, codec_dec=aux["cache"]))
 
     def forward(self, variables, state: StreamState,
                 audio_structure: jnp.ndarray, audio_timbre: jnp.ndarray,

@@ -39,19 +39,26 @@ def main():
     SR = 44100
     N_SAMPLES = 524288
     NB_STEPS = 20
+    # bf16 is available (AFTER_BENCH_DTYPE=bfloat16; quality cos_sim 0.9997,
+    # tests/test_precision.py) but measured ~8% slower at batch 1 on one
+    # chip — this workload is occupancy-bound, not MXU-flops-bound — so the
+    # default stays f32.
+    dtype = os.environ.get("AFTER_BENCH_DTYPE", "float32")
 
     cfg = get_config("base")
     ratio = cfg.autoencoder.ratio            # 2048
     n_signal = N_SAMPLES // ratio            # 256 latent frames
     cfg = cfg.resolved(in_size=cfg.autoencoder.z_channels, n_signal=n_signal)
 
-    pipe = TransferPipeline(cfg)
+    pipe = TransferPipeline(
+        cfg, compute_dtype=None if dtype in ("f32", "float32") else dtype)
     log("bench: initializing params (jitted)...")
     t0 = time.perf_counter()
     # jit the whole init: eager init would issue one XLA compile per op
     variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)
+    variables = pipe.prepare_variables(variables)
     jax.block_until_ready(variables)
-    log(f"bench: init {time.perf_counter() - t0:.1f}s")
+    log(f"bench: init {time.perf_counter() - t0:.1f}s ({dtype})")
 
     rng = np.random.RandomState(0)
     a_struct = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
