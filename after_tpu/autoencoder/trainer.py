@@ -123,6 +123,7 @@ class AutoencoderTrainer:
                                                    codec_vars["params"])
         params = optax.apply_updates(codec_vars["params"], updates)
         codec_vars = {**codec_vars, "params": params}
+        metrics["skipped_nonfinite"] = opt_state.total_notfinite
         return (codec_vars, disc_vars, opt_state), metrics
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1,))

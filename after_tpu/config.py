@@ -50,6 +50,11 @@ class DenoiserConfig:
     # streaming cache geometry (transformerv2.py:130-131,147-155)
     max_diffusion_steps: int = 16
     max_batch_size: int = 4
+    # fold the identical DiT blocks into one lax.scan over stacked params:
+    # ~n_layers x smaller trace/compile, identical math.  Param tree changes
+    # ("blocks" with a leading layer axis) — use
+    # models.denoiser.stack_block_params to convert per-block_i params.
+    scan_layers: bool = False
 
 
 @dataclass(frozen=True)

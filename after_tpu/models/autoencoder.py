@@ -38,8 +38,9 @@ class StreamGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # epsilon matches torch nn.GroupNorm (1e-5; flax defaults to 1e-6)
         gn = nn.GroupNorm(num_groups=min(x.shape[-1], self.num_groups),
-                          name="gn")
+                          epsilon=1e-5, name="gn")
         if not self.streaming:
             return gn(x)
         pad = self.variable(

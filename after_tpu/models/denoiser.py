@@ -187,6 +187,31 @@ class DecoderBlock(nn.Module):
         return x
 
 
+class _ScanBlockBody(nn.Module):
+    """nn.scan body: one DecoderBlock as (carry, broadcast...) -> (carry, None)."""
+
+    cfg: DenoiserConfig
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, h, cond, tcond, cache_index, deterministic):
+        h = DecoderBlock(self.cfg, streaming=self.streaming,
+                         name="block")(h, cond, tcond, cache_index,
+                                       deterministic)
+        return h, None
+
+
+def stack_block_params(params, n_layers: int):
+    """Convert loop-form denoiser params (block_0..block_{n-1}) into the
+    scan form (`blocks/block` with a leading layer axis), e.g. after
+    utils.port_torch.map_denoiser_v2."""
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    blocks = [params[f"block_{i}"] for i in range(n_layers)]
+    out["blocks"] = {"block": jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *blocks)}
+    return out
+
+
 class Denoiser(nn.Module):
     """Rectified-flow velocity field v(x_t, t, z_timbre, z_structure).
 
@@ -229,9 +254,22 @@ class Denoiser(nn.Module):
         else:
             tc = None
 
-        for i in range(cfg.n_layers):
-            h = DecoderBlock(cfg, streaming=self.streaming,
-                             name=f"block_{i}")(h, features, tc, cache_index,
-                                                deterministic)
+        if cfg.scan_layers:
+            # one traced block, scanned over stacked params: ~n_layers x
+            # smaller XLA graph, identical math to the unrolled loop
+            ScanBlocks = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0, "cache": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=cfg.n_layers)
+            h, _ = ScanBlocks(cfg, self.streaming, name="blocks")(
+                h, features, tc, cache_index, deterministic)
+        else:
+            for i in range(cfg.n_layers):
+                h = DecoderBlock(cfg, streaming=self.streaming,
+                                 name=f"block_{i}")(h, features, tc,
+                                                    cache_index,
+                                                    deterministic)
 
         return nn.Dense(cfg.n_channels, name="out_proj")(h)

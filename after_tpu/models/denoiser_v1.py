@@ -13,7 +13,14 @@ Reference: /root/reference/after/diffusion/networks/transformer.py:555
 - patchify uses LayerNorm instead of GELU (transformer.py:444-448);
 - optional depthwise-separable-conv MLP (`mlp_type="sep_conv"`).
 
-Offline graph only (the primary/streaming backbone is DenoiserV2).
+Streaming (`streaming=True`) mirrors the reference's per-diffusion-step KV
+caches (transformer.py:92-163): self-attention caches roll-write exactly as
+DenoiserV2's, and the cross-attention keeps the same window cache over past
+structure-code keys/values (the reference routes CrossAttention through the
+same MHAttention cache, transformer.py:233-260).  As in the reference, the
+learnable `pos_embed_ca` indexes the *current chunk* positions in streaming
+(transformer.py:535-539), so offline==stream holds exactly when that
+embedding is zero (or the window covers the sequence).
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DenoiserConfig
-from ..ops.masks import mask_bias, sliding_chunkwise_mask
+from ..ops.masks import mask_bias, sliding_chunkwise_mask, streaming_mask
 from ..ops.rotary import apply_rotary, rotary_angles
 from .denoiser import fourier_features
 
@@ -37,16 +44,29 @@ class DenoiserV1Config:
     tcond_mode: str = "cross_attention"       # "cross_attention" | "adaln"
     temporal_noise: bool = False
     mlp_type: str = "mlp"                     # "mlp" | "sep_conv"
+    # The reference's offline cross-attention is non-causal
+    # (transformer.py:233, is_causal=False): earlier frames attend *future*
+    # structure codes, so its streaming (which can only see the past window)
+    # silently mismatches training.  cross_attn_causal=True applies the same
+    # chunkwise-causal window to cross-attention offline, making
+    # stream == offline exact — train with it if the model will be streamed.
+    cross_attn_causal: bool = False
 
 
 class _Attention(nn.Module):
-    """Shared masked multi-head attention over given q/k/v projections."""
+    """Shared masked multi-head attention over given q/k/v projections.
+
+    With `streaming=True`, keys/values concatenate a per-diffusion-step
+    window cache (roll-written, `filled`-masked) exactly like DenoiserV2's
+    ChunkCausalAttention — for cross-attention too, matching the reference's
+    shared MHAttention cache (transformer.py:92-163)."""
 
     cfg: DenoiserConfig
     causal_mask: bool = True
+    streaming: bool = False
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic: bool = True):
+    def __call__(self, q, k, v, cache_index=0, deterministic: bool = True):
         cfg = self.cfg
         B, Tq, E = q.shape
         H = E // cfg.head_dim
@@ -56,27 +76,72 @@ class _Attention(nn.Module):
             return y.reshape(B, -1, H, D).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+
+        if self.streaming:
+            T = k.shape[2]
+            C = cfg.local_attention_size
+            S = cfg.max_diffusion_steps
+            k_cache = self.variable(
+                "cache", "k", lambda: jnp.zeros((B, S, H, C, D), q.dtype))
+            v_cache = self.variable(
+                "cache", "v", lambda: jnp.zeros((B, S, H, C, D), q.dtype))
+            filled = self.variable(
+                "cache", "filled", lambda: jnp.zeros((S,), jnp.int32))
+
+            kc = jnp.take(k_cache.value, cache_index, axis=1)
+            vc = jnp.take(v_cache.value, cache_index, axis=1)
+            full_k = jnp.concatenate([kc, k], axis=2)
+            full_v = jnp.concatenate([vc, v], axis=2)
+
+            new_kc = (jnp.concatenate([kc[:, :, T:], k[:, :, :min(T, C)]],
+                                      axis=2) if T < C else k[:, :, -C:])
+            new_vc = (jnp.concatenate([vc[:, :, T:], v[:, :, :min(T, C)]],
+                                      axis=2) if T < C else v[:, :, -C:])
+            k_cache.value = jax.lax.dynamic_update_index_in_dim(
+                k_cache.value, new_kc, cache_index, axis=1)
+            v_cache.value = jax.lax.dynamic_update_index_in_dim(
+                v_cache.value, new_vc, cache_index, axis=1)
+            n_filled = jnp.take(filled.value, cache_index)
+            filled.value = filled.value.at[cache_index].set(
+                jnp.minimum(n_filled + T, C))
+
+            KL = C + T
+            if self.causal_mask and cfg.causal:
+                bias = jnp.asarray(mask_bias(streaming_mask(
+                    Tq, KL, cfg.attention_chunk_size,
+                    cfg.local_attention_size)))
+            else:
+                bias = jnp.zeros((Tq, KL), jnp.float32)
+            key_idx = jnp.arange(KL)
+            valid = key_idx >= (C - n_filled)
+            bias = jnp.where(valid[None, :], bias, -1e9)
+        else:
+            full_k, full_v = k, v
+            if self.causal_mask and cfg.causal:
+                bias = jnp.asarray(mask_bias(sliding_chunkwise_mask(
+                    full_k.shape[2], cfg.attention_chunk_size,
+                    cfg.local_attention_size)))[-Tq:]
+            else:
+                bias = None
+
         if cfg.pos_emb_type == "rotary":
-            k_len = k.shape[2]
+            k_len = full_k.shape[2]
             q_ang = jnp.asarray(rotary_angles(
                 np.arange(k_len - Tq, k_len, dtype=np.float64),
                 cfg.rotary_dim))
             k_ang = jnp.asarray(rotary_angles(
                 np.arange(k_len, dtype=np.float64), cfg.rotary_dim))
             q = apply_rotary(q, q_ang)
-            k = apply_rotary(k, k_ang)
+            full_k = apply_rotary(full_k, k_ang)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, full_k,
                             preferred_element_type=jnp.float32) / np.sqrt(D)
-        if self.causal_mask and cfg.causal:
-            bias = jnp.asarray(mask_bias(sliding_chunkwise_mask(
-                k.shape[2], cfg.attention_chunk_size,
-                cfg.local_attention_size)))[-Tq:]
+        if bias is not None:
             logits = logits + bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        probs = jax.nn.softmax(logits, axis=-1).astype(full_v.dtype)
         if cfg.dropout > 0 and not deterministic:
             probs = nn.Dropout(cfg.dropout, deterministic=False)(probs)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, full_v)
         return out.transpose(0, 2, 1, 3).reshape(B, Tq, E)
 
 
@@ -99,9 +164,11 @@ class SepConvMLP(nn.Module):
 
 class DecoderBlockV1(nn.Module):
     cfg: DenoiserV1Config
+    streaming: bool = False
 
     @nn.compact
-    def __call__(self, x, cond, tcond, deterministic: bool = True):
+    def __call__(self, x, cond, tcond, cache_index=0,
+                 deterministic: bool = True):
         base = self.cfg.base
         use_ca = (self.cfg.tcond_mode == "cross_attention"
                   and tcond is not None)
@@ -115,7 +182,9 @@ class DecoderBlockV1(nn.Module):
         h = nn.LayerNorm(name="norm1")(x)
         qkv = nn.Dense(3 * base.embed_dim, use_bias=False, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        x = _Attention(base, name="self_attn")(q, k, v, deterministic) + x
+        x = _Attention(base, streaming=self.streaming,
+                       name="self_attn")(q, k, v, cache_index,
+                                         deterministic) + x
 
         # AdaLN cond — v1 normalises unconditionally (transformer.py:402-406)
         x = nn.LayerNorm(use_bias=False, use_scale=False, name="norm2")(x)
@@ -132,8 +201,10 @@ class DecoderBlockV1(nn.Module):
             kv = nn.Dense(2 * base.embed_dim, use_bias=False,
                           name="kv_linear")(tcond)
             k, v = jnp.split(kv, 2, axis=-1)
-            x = _Attention(base, causal_mask=False,
-                           name="cross_attn")(q, k, v, deterministic) + x
+            x = _Attention(base, causal_mask=self.cfg.cross_attn_causal,
+                           streaming=self.streaming,
+                           name="cross_attn")(q, k, v, cache_index,
+                                              deterministic) + x
 
         h = nn.LayerNorm(name="norm3")(x)
         if self.cfg.mlp_type == "sep_conv":
@@ -148,9 +219,10 @@ class DecoderBlockV1(nn.Module):
 
 class DenoiserV1(nn.Module):
     cfg: DenoiserV1Config
+    streaming: bool = False
 
     @nn.compact
-    def __call__(self, x, time, cond=None, time_cond=None,
+    def __call__(self, x, time, cond=None, time_cond=None, cache_index=0,
                  deterministic: bool = True):
         cfg = self.cfg
         base = cfg.base
@@ -182,6 +254,10 @@ class DenoiserV1(nn.Module):
         h = nn.LayerNorm(name="patchify_norm")(h)
 
         if base.pos_emb_type == "learnable":
+            if self.streaming:
+                raise ValueError("streaming DenoiserV1 requires rotary or no "
+                                 "positional embedding (learnable restarts "
+                                 "every chunk)")
             pos = self.param("pos_embed", nn.initializers.normal(1.0),
                              (base.seq_len, base.embed_dim))
             h = h + pos[None, :T]
@@ -201,6 +277,7 @@ class DenoiserV1(nn.Module):
                 tc = nn.LayerNorm(name="tcond_norm")(tc)
 
         for i in range(base.n_layers):
-            h = DecoderBlockV1(cfg, name=f"block_{i}")(h, features, tc,
-                                                       deterministic)
+            h = DecoderBlockV1(cfg, streaming=self.streaming,
+                               name=f"block_{i}")(h, features, tc,
+                                                  cache_index, deterministic)
         return nn.Dense(base.n_channels, name="out_proj")(h)

@@ -196,3 +196,120 @@ def test_linear_encoder():
         z, mean, kl = enc.apply(v, x, rngs={"sample": jax.random.PRNGKey(2)})
         assert z.shape == (2, 8)
         assert np.isfinite(float(kl))
+
+
+def test_denoiser_v1_stream_equals_offline_prefix():
+    """Streaming DenoiserV1 (self-attn + cross-attn KV caches) reproduces the
+    offline output on each prefix while the cache window covers the sequence
+    (reference CrossAttention cache, transformer.py:233-260).  Requires
+    cross_attn_causal=True — the reference's non-causal offline cross-attn
+    lets earlier frames attend future structure codes, which no streaming
+    scheme can reproduce (its own streaming silently mismatches).
+    pos_embed_ca is zeroed: the reference restarts it every chunk."""
+    from after_tpu.models import DenoiserV1, DenoiserV1Config
+    from after_tpu.streaming import init_stream_state, zero_cache
+
+    base = dataclasses.replace(
+        SMALL_DN, embed_dim=64, noise_embed_dims=16, causal=True,
+        dropout=0.0, attention_chunk_size=4, local_attention_size=16,
+        max_diffusion_steps=2, pos_emb_type="rotary")
+    for tnoise in (False, True):
+        cfg = DenoiserV1Config(base=base, tcond_mode="cross_attention",
+                               temporal_noise=tnoise,
+                               cross_attn_causal=True)
+        dn = DenoiserV1(cfg)
+        dn_s = DenoiserV1(cfg, streaming=True)
+
+        T, chunk = 16, 4
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, T, 8).astype(np.float32))
+        tcond = jnp.asarray(rng.randn(1, T, 12).astype(np.float32))
+        cond = jnp.asarray(rng.randn(1, 6).astype(np.float32))
+        t = jnp.full((1,), 0.3)
+
+        variables = dn.init(jax.random.PRNGKey(0), x, t, cond, tcond)
+        params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        params["pos_embed_ca"] = np.zeros_like(params["pos_embed_ca"])
+        cache = init_stream_state(dn_s, x[:, :chunk], t, cond,
+                                  tcond[:, :chunk])
+
+        for i in range(T // chunk):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            y_s, aux = dn_s.apply(
+                {"params": params, "cache": cache}, x[:, sl], t, cond,
+                tcond[:, sl], cache_index=0, mutable=["cache"])
+            cache = aux["cache"]
+            y_off = dn.apply({"params": params}, x[:, :(i + 1) * chunk], t,
+                             cond, tcond[:, :(i + 1) * chunk])[:, -chunk:]
+            np.testing.assert_allclose(
+                np.asarray(y_s), np.asarray(y_off), atol=2e-5,
+                err_msg=f"tnoise={tnoise} chunk {i}")
+
+
+def test_denoiser_v1_streaming_noncausal_cross_runs():
+    """Reference-style streaming (non-causal cross-attn trained offline):
+    runs, deterministic, and matches offline on the first chunk (where no
+    future exists yet)."""
+    from after_tpu.models import DenoiserV1, DenoiserV1Config
+    from after_tpu.streaming import init_stream_state
+
+    base = dataclasses.replace(
+        SMALL_DN, embed_dim=64, noise_embed_dims=16, causal=True,
+        dropout=0.0, attention_chunk_size=4, local_attention_size=16,
+        max_diffusion_steps=2, pos_emb_type="rotary")
+    cfg = DenoiserV1Config(base=base, tcond_mode="cross_attention")
+    dn = DenoiserV1(cfg)
+    dn_s = DenoiserV1(cfg, streaming=True)
+    chunk = 4
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, chunk, 8).astype(np.float32))
+    tcond = jnp.asarray(rng.randn(1, chunk, 12).astype(np.float32))
+    cond = jnp.asarray(rng.randn(1, 6).astype(np.float32))
+    t = jnp.full((1,), 0.3)
+    variables = dn.init(jax.random.PRNGKey(0), x, t, cond, tcond)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params["pos_embed_ca"] = np.zeros_like(params["pos_embed_ca"])
+    cache = init_stream_state(dn_s, x, t, cond, tcond)
+    y_s, _ = dn_s.apply({"params": params, "cache": cache}, x, t, cond,
+                        tcond, cache_index=0, mutable=["cache"])
+    y_off = dn.apply({"params": params}, x, t, cond, tcond)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_off), atol=2e-5)
+
+
+def test_denoiser_scan_layers_equals_loop():
+    """scan_layers=True (one lax.scan over stacked block params) must be
+    numerically identical to the unrolled loop, offline and streaming."""
+    from after_tpu.models.denoiser import stack_block_params
+
+    cfg = SMALL_DN
+    cfg_s = dataclasses.replace(cfg, scan_layers=True)
+    B, T, C = 1, 32, cfg.n_channels
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C))
+    t = jnp.full((B,), 0.4)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.cond_dim))
+    tcond = jax.random.normal(jax.random.PRNGKey(2), (B, T, cfg.tcond_dim))
+
+    loop = Denoiser(cfg)
+    scan = Denoiser(cfg_s)
+    variables = loop.init(jax.random.PRNGKey(3), x, t, cond, tcond)
+    stacked = stack_block_params(variables["params"], cfg.n_layers)
+
+    y_loop = loop.apply(variables, x, t, cond, tcond)
+    y_scan = scan.apply({"params": stacked}, x, t, cond, tcond)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_loop),
+                               atol=1e-5)
+
+    # streaming: scanned per-layer caches thread identically
+    sdn = Denoiser(cfg_s, streaming=True)
+    chunk = cfg.attention_chunk_size
+    cache = init_stream_state(sdn, x[:, :chunk], t, cond, tcond[:, :chunk])
+    outs = []
+    for i in range(0, T, chunk):
+        y, aux = sdn.apply({"params": stacked, "cache": cache},
+                           x[:, i:i + chunk], t, cond, tcond[:, i:i + chunk],
+                           cache_index=0, mutable=["cache"])
+        cache = aux["cache"]
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_loop),
+                               atol=2e-4)

@@ -66,3 +66,23 @@ def test_sharded_cfg_inference():
     y2 = rf.sample(variables["net"], jax.device_get(x0),
                    jax.device_get(cond), jax.device_get(tcond), 2, 2.0, 1.0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-4)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process path of the multi-host helpers: local batch -> global
+    sharded array over the data axis (on a pod each process contributes its
+    slice; the API is identical)."""
+    from after_tpu.parallel import (global_batch_from_local,
+                                    host_shard_kwargs, initialize_distributed,
+                                    make_mesh)
+
+    initialize_distributed()  # no-op single-process
+    kw = host_shard_kwargs(16)
+    assert kw["batch_size"] == 16 // jax.process_count()
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = {"x": np.arange(8 * 4 * 2, dtype=np.float32).reshape(8, 4, 2)}
+    g = global_batch_from_local(batch, mesh)
+    assert g["x"].shape == (8, 4, 2)
+    assert len(g["x"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])

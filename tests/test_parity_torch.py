@@ -297,3 +297,42 @@ def test_full_sampler_trajectory_parity(ref_transformerv2):
                   jnp.asarray(tcond), nb_steps, gt, gs)
     mse = float(np.mean((np.asarray(x) - x_ref) ** 2))
     assert mse < 1e-3, f"sampler trajectory parity MSE {mse}"
+
+
+def test_cached_group_norm_streaming_parity():
+    """StreamGroupNorm == reference CachedGroupNorm in stream mode
+    (SimpleNetsStream.py:96-147): normalise [prev_chunk | chunk], emit the
+    chunk, keep the last chunk as pad."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from ref_loader import load_reference_codec_module
+
+    sns = load_reference_codec_module()
+    C, T, B, G = 8, 16, 2, 4
+    ref = sns.CachedGroupNorm(G, C, stream=True)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref.gn.weight.copy_(torch.randn(C) * 0.5 + 1.0)
+        ref.gn.bias.copy_(torch.randn(C) * 0.1)
+    ref.eval()
+
+    from after_tpu.models.autoencoder import StreamGroupNorm
+    mod = StreamGroupNorm(G, streaming=True)
+    x0 = jnp.zeros((B, T, C))
+    variables = mod.init(jax.random.PRNGKey(0), x0)
+    params = {"gn": {"scale": jnp.asarray(ref.gn.weight.detach().numpy()),
+                     "bias": jnp.asarray(ref.gn.bias.detach().numpy())}}
+    cache = jax.tree_util.tree_map(jnp.zeros_like, variables["cache"])
+
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        x = rng.randn(B, T, C).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 2, 1)))
+        y_ref = y_ref.numpy().transpose(0, 2, 1)
+        y, aux = mod.apply({"params": params, "cache": cache},
+                           jnp.asarray(x), mutable=["cache"])
+        cache = aux["cache"]
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5,
+                                   err_msg=f"chunk {i}")
