@@ -47,6 +47,10 @@ def build_argparser():
     p.add_argument("--basic_pitch", default=None,
                    help="path to a basic-pitch torch checkpoint: transcribe "
                         "audio to MIDI when no .mid file exists")
+    p.add_argument("--beat_track", action="store_true",
+                   help="store beat_clock/downbeat_clock phase ramps per "
+                        "chunk (reference --beat_track via beat_this; here "
+                        "the energy-flux estimator)")
     p.add_argument("--max_files", type=int, default=None)
     return p
 
@@ -149,6 +153,20 @@ def main(argv=None) -> int:
                 ae.put_metadata(meta)
                 if midi is not None:
                     ae.put_buffer("midi_bytes", midi, [len(midi)])
+                if args.beat_track:
+                    from ..dataset.transforms import (estimate_beats,
+                                                      estimate_downbeats,
+                                                      get_beat_signal)
+                    z_len = (args.num_signal // encoder.ratio
+                             if encoder is not None
+                             else args.num_signal // 2048)
+                    dur = args.num_signal / args.sr
+                    _, beats = estimate_beats(pending[bi], args.sr)
+                    downs = estimate_downbeats(pending[bi], args.sr, beats)
+                    ae.put_array("beat_clock",
+                                 get_beat_signal(beats, dur, z_len))
+                    ae.put_array("downbeat_clock",
+                                 get_beat_signal(downs, dur, z_len))
                 if encoder is not None and args.augmentations > 0:
                     for ai in range(args.augmentations):
                         aug = pitch_stretch_augment(pending[bi], args.sr, rng)

@@ -196,6 +196,27 @@ def estimate_beats(x: np.ndarray, sr: int,
     return bpm, beats
 
 
+def estimate_downbeats(x: np.ndarray, sr: int, beats: np.ndarray,
+                       beats_per_bar: int = 4,
+                       hop: int = 512) -> np.ndarray:
+    """Pick the bar phase (assumed 4/4) whose downbeat positions carry the
+    most onset energy; returns downbeat times (every `beats_per_bar`-th
+    beat).  Heuristic counterpart of beat_this's downbeat head
+    (/root/reference/after/dataset/beat_this/inference.py Audio2Beats)."""
+    if len(beats) < beats_per_bar + 1:
+        return beats[:1]
+    f, t, S = scipy.signal.stft(x, fs=sr, nperseg=2048, noverlap=2048 - hop)
+    env = np.abs(S).sum(axis=0)
+    flux = np.maximum(np.diff(env, prepend=env[0]), 0)
+    fps = sr / hop
+    idx = np.clip((beats * fps).astype(int), 0, len(flux) - 1)
+    strengths = flux[idx]
+    scores = [strengths[off::beats_per_bar].mean()
+              for off in range(beats_per_bar)]
+    off = int(np.argmax(scores))
+    return beats[off::beats_per_bar]
+
+
 def get_beat_signal(beats: np.ndarray, duration: float,
                     n_frames: int) -> np.ndarray:
     """Beat times -> per-frame phase ramp in [0, 1) ("beat clock" sawtooth,

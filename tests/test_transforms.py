@@ -79,3 +79,22 @@ def test_beat_clock():
     sig = get_beat_signal(beats, 4.0, 128)
     assert sig.shape == (128,)
     assert 0 <= sig.min() and sig.max() < 1.0001
+
+
+def test_downbeat_estimation():
+    from after_tpu.dataset.transforms import estimate_downbeats
+
+    sr = 22050
+    period = 0.5  # 120 bpm
+    x = np.zeros(sr * 8, np.float32)
+    for k, b in enumerate(np.arange(0, 8, period)):
+        i = int(b * sr)
+        amp = 1.0 if k % 4 == 0 else 0.3   # accented downbeat every bar
+        x[i:i + 200] += amp * np.hanning(200).astype(np.float32)
+    bpm, beats = estimate_beats(x, sr)
+    downs = estimate_downbeats(x, sr, beats)
+    assert len(downs) >= 3
+    gaps = np.diff(downs)
+    assert np.allclose(gaps, 2.0, atol=0.1), gaps
+    # downbeats sit on the accented clicks (multiples of 2 s)
+    assert np.all(np.abs(downs / 2.0 - np.round(downs / 2.0)) < 0.08), downs
