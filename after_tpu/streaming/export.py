@@ -42,8 +42,13 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                     out_dir: str, nb_steps: int = 1,
                     guidance_timbre: float = 1.0,
                     guidance_structure: float = 1.0,
-                    batch_size: int = 1) -> str:
-    """Serialize the streaming methods to `out_dir`."""
+                    batch_size: int = 1, donate_state: bool = True) -> str:
+    """Serialize the streaming methods to `out_dir`.
+
+    donate_state bakes input->output aliasing for the stream-state leaves
+    into the compiled artifacts: the per-buffer state update happens in
+    place on device (no copy of the conv/KV caches per audio callback) on
+    any PJRT host, including native/stream_host.cc."""
     os.makedirs(out_dir, exist_ok=True)
     state = streamer.init_state(variables, batch_size)
     leaves, treedef = _flatten_state(state)
@@ -79,7 +84,9 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
     }
 
     for name, (fn, xs) in methods.items():
-        exp = jexport.export(jax.jit(fn))(leaves, *xs)
+        jitted = (jax.jit(fn, donate_argnums=(0,)) if donate_state
+                  else jax.jit(fn))
+        exp = jexport.export(jitted)(leaves, *xs)
         with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
             f.write(exp.serialize())
         # raw StableHLO bytecode for the native PJRT host
