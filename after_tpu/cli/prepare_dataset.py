@@ -49,8 +49,11 @@ def build_argparser():
                         "audio to MIDI when no .mid file exists")
     p.add_argument("--beat_track", action="store_true",
                    help="store beat_clock/downbeat_clock phase ramps per "
-                        "chunk (reference --beat_track via beat_this; here "
-                        "the energy-flux estimator)")
+                        "chunk (reference --beat_track)")
+    p.add_argument("--beat_this_ckpt", default=None,
+                   help="BeatThis torch checkpoint for the RoFormer tracker "
+                        "(dataset/beat_tracker.py); omit to use the "
+                        "energy-flux estimator")
     p.add_argument("--max_files", type=int, default=None)
     return p
 
@@ -131,6 +134,10 @@ def main(argv=None) -> int:
         variables = transcriber.init(jax.random.PRNGKey(0))
         ported = load_torch_weights(args.basic_pitch)
         transcriber.variables = {**variables, **ported}
+    beat_tracker = None
+    if args.beat_this_ckpt:
+        from ..dataset.beat_tracker import Audio2Beats
+        beat_tracker = Audio2Beats(args.beat_this_ckpt)
     rng = np.random.RandomState(0)
 
     with RecordWriter(args.output_path) as writer:
@@ -161,8 +168,12 @@ def main(argv=None) -> int:
                              if encoder is not None
                              else args.num_signal // 2048)
                     dur = args.num_signal / args.sr
-                    _, beats = estimate_beats(pending[bi], args.sr)
-                    downs = estimate_downbeats(pending[bi], args.sr, beats)
+                    if beat_tracker is not None:
+                        beats, downs = beat_tracker(pending[bi], args.sr)
+                    else:
+                        _, beats = estimate_beats(pending[bi], args.sr)
+                        downs = estimate_downbeats(pending[bi], args.sr,
+                                                   beats)
                     ae.put_array("beat_clock",
                                  get_beat_signal(beats, dur, z_len))
                     ae.put_array("downbeat_clock",

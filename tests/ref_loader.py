@@ -99,6 +99,12 @@ _PATCHES = {
     "h = firwin(N, wc, window=('kaiser', beta), scale=False, nyq=np.pi)":
         "h = firwin(N, float(np.asarray(wc).ravel()[0]), "
         "window=('kaiser', beta), scale=False, fs=2 * np.pi)",
+    # beat_this relative imports
+    "from .roformer import Transformer, Attention, FeedForward":
+        "from ref_beat_roformer import Transformer, Attention, FeedForward",
+    "from ..utils import replace_state_dict_key":
+        "replace_state_dict_key = lambda sd, old, new: "
+        "{k.replace(old, new): v for k, v in sd.items()}",
 }
 
 
@@ -142,3 +148,44 @@ def load_reference_ecapa():
 def load_reference_encoder1d():
     return load_ref("ref_encoder1d",
                     "/root/reference/after/diffusion/networks/encoder.py")
+
+
+def _install_rotary_torch_stub():
+    """Offline stand-in for the rotary_embedding_torch pip package (used by
+    the vendored beat_this): interleaved-pair rotation, theta 10000,
+    positions 0..n-1 — the exact subset BeatThis uses."""
+    if "rotary_embedding_torch" in sys.modules:
+        return
+    import torch
+
+    class RotaryEmbedding(torch.nn.Module):
+        def __init__(self, dim, theta=10000):
+            super().__init__()
+            inv = 1.0 / (theta ** (torch.arange(0, dim, 2).float() / dim))
+            self.register_buffer("inv_freq", inv)
+
+        def rotate_queries_or_keys(self, x):
+            n = x.shape[-2]
+            t = torch.arange(n, dtype=torch.float32)
+            freqs = torch.einsum("i,j->ij", t, self.inv_freq)
+            freqs = freqs.repeat_interleave(2, dim=-1)
+            cos, sin = freqs.cos(), freqs.sin()
+            d = freqs.shape[-1]
+            xr, xp = x[..., :d], x[..., d:]
+            x1, x2 = xr[..., 0::2], xr[..., 1::2]
+            rot = torch.stack([-x2, x1], dim=-1).reshape(xr.shape)
+            return torch.cat([xr * cos + rot * sin, xp], dim=-1)
+
+    m = types.ModuleType("rotary_embedding_torch")
+    m.RotaryEmbedding = RotaryEmbedding
+    sys.modules["rotary_embedding_torch"] = m
+
+
+def load_reference_beat_this():
+    install_stubs()
+    _install_rotary_torch_stub()
+    load_ref("ref_beat_roformer",
+             "/root/reference/after/dataset/beat_this/model/roformer.py")
+    return load_ref(
+        "ref_beat_tracker",
+        "/root/reference/after/dataset/beat_this/model/beat_tracker.py")

@@ -336,3 +336,45 @@ def test_cached_group_norm_streaming_parity():
         cache = aux["cache"]
         np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5,
                                    err_msg=f"chunk {i}")
+
+
+def test_beat_this_parity():
+    """BeatThis port == reference network (beat_tracker.py) with the same
+    (random) weights: stem, partial F/T RoFormers, transformer, SumHead."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from ref_loader import load_reference_beat_this
+
+    bt = load_reference_beat_this()
+    torch.manual_seed(0)
+    ref = bt.BeatThis()
+    ref.eval()
+
+    from after_tpu.dataset.beat_tracker import BeatThis, map_torch_state_dict
+    mine = BeatThis()
+    variables = map_torch_state_dict(ref.state_dict())
+
+    rng = np.random.RandomState(0)
+    spect = rng.randn(2, 96, 128).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(spect))
+    out = mine.apply(variables, jnp.asarray(spect))
+    for k in ("beat", "downbeat"):
+        a, b = np.asarray(out[k]), out_ref[k].numpy()
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        np.testing.assert_allclose(a, b, atol=5e-4,
+                                   err_msg=f"head {k}")
+
+
+def test_beat_this_audio2beats_smoke():
+    """End-to-end Audio2Beats with random weights: runs, returns sorted
+    times within the clip."""
+    from after_tpu.dataset.beat_tracker import Audio2Beats
+
+    a2b = Audio2Beats()
+    x = np.random.RandomState(0).randn(22050 * 3).astype(np.float32) * 0.1
+    beats, downs = a2b(x, 22050)
+    assert (np.diff(beats) > 0).all() if len(beats) > 1 else True
+    assert all(0 <= b <= 3.5 for b in beats)
+    assert all(d in beats for d in downs) or len(downs) == 0
