@@ -414,7 +414,9 @@ PJRT_Buffer_Type DtypeOf(const std::string& name) {
   exit(1);
 }
 
-size_t DtypeSize(const std::string& name) { return 4; }
+size_t DtypeSize(const std::string& name) {
+  return name == "bfloat16" ? 2 : 4;
+}
 
 }  // namespace
 
