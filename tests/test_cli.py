@@ -41,3 +41,55 @@ def test_prepare_dataset_waveform_only(corpus, tmp_path):
 def test_cli_usage():
     assert cli_main([]) == 1
     assert cli_main(["bogus"]) == 1
+
+
+def test_prepare_dataset_beat_track(corpus, tmp_path):
+    out = tmp_path / "db_beats"
+    rc = cli_main(["prepare_dataset", "--input_path", str(corpus),
+                   "--output_path", str(out), "--num_signal", "65536",
+                   "--save_waveform", "--beat_track"])
+    assert rc == 0
+    reader = RecordReader(str(out))
+    ae = AudioExample(reader.get(reader.keys()[0]))
+    bc = ae.get("beat_clock")
+    dc = ae.get("downbeat_clock")
+    assert bc.shape == (65536 // 2048,) and dc.shape == bc.shape
+    assert 0 <= bc.min() and bc.max() <= 1.0001
+
+
+def test_update_dataset(corpus, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from after_tpu.config import AutoEncoderConfig, ae_to_json
+    from after_tpu.models import AudioCodec
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    # waveform-only store
+    db = tmp_path / "db_wav"
+    rc = cli_main(["prepare_dataset", "--input_path", str(corpus),
+                   "--output_path", str(db), "--num_signal", "4096",
+                   "--save_waveform", "--max_files", "1"])
+    assert rc == 0
+
+    # micro codec checkpoint with its config
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1)
+    codec = AudioCodec(cfg)
+    variables = jax.jit(codec.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 4096, 1)))
+    ckpt = tmp_path / "codec_ckpt"
+    save_checkpoint(str(ckpt), 0, {"codec_vars": variables},
+                    config_json=ae_to_json(cfg))
+
+    out = tmp_path / "db_z"
+    rc = cli_main(["update_dataset", "--dataset_path", str(db),
+                   "--output_path", str(out),
+                   "--emb_model_path", str(ckpt)])
+    assert rc == 0
+    reader = RecordReader(str(out))
+    ae = AudioExample(reader.get(reader.keys()[0]))
+    z = ae.get("z")
+    assert z.shape == (8, 4096 // cfg.ratio)   # stored (C, T)
+    assert np.isfinite(z).all()
