@@ -22,6 +22,9 @@ def build_argparser(cmd: str):
     p.add_argument("--chunk_size", type=int, default=4)
     p.add_argument("--nb_steps", type=int, default=1)
     p.add_argument("--latent_range", type=float, default=1.0)
+    p.add_argument("--compute_dtype", default=None,
+                   help="e.g. bfloat16: bake a reduced-precision compute "
+                        "path (and state) into the artifact")
     p.add_argument("--out", default=None)
     return p
 
@@ -61,7 +64,9 @@ def main(cmd: str, argv=None) -> int:
 
     variables = {"codec": codec_vars, "diffusion": diff_vars}
     streamer = Streamer(cfg, chunk_size=args.chunk_size,
-                        latent_range=args.latent_range)
+                        latent_range=args.latent_range,
+                        compute_dtype=args.compute_dtype)
+    variables = streamer.prepare_variables(variables)
     out = args.out or os.path.join(
         args.model_path,
         f"after.{'midi' if cmd == 'export_midi' else 'audio'}."

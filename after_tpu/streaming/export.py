@@ -102,11 +102,17 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
     except Exception:
         pass
 
-    # initial state + treedef layout
+    # initial state + treedef layout (npz can't hold bfloat16 — store the
+    # raw bits and reconstruct from state_dtypes in the manifest)
     sdir = os.path.join(out_dir, "state")
     os.makedirs(sdir, exist_ok=True)
+
+    def storable(a):
+        a = np.asarray(a)
+        return a.view(np.uint16) if a.dtype.name == "bfloat16" else a
+
     np.savez(os.path.join(sdir, "initial_state.npz"),
-             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+             **{f"leaf_{i}": storable(l) for i, l in enumerate(leaves)})
     for i, l in enumerate(leaves):
         np.asarray(l).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
     manifest = {
@@ -140,9 +146,7 @@ class ExportedStreamer:
             if os.path.exists(p):
                 self._methods[name] = jexport.deserialize(
                     open(p, "rb").read())
-        z = np.load(os.path.join(path, "state", "initial_state.npz"))
-        self.state = [jnp.asarray(z[f"leaf_{i}"])
-                      for i in range(self.manifest["n_state_leaves"])]
+        self.reset(path)
 
     def call(self, name: str, *xs):
         y, new_state = self._methods[name].call(self.state, *xs)
@@ -150,6 +154,12 @@ class ExportedStreamer:
         return y
 
     def reset(self, path: str):
+        import ml_dtypes
         z = np.load(os.path.join(path, "state", "initial_state.npz"))
-        self.state = [jnp.asarray(z[f"leaf_{i}"])
-                      for i in range(self.manifest["n_state_leaves"])]
+        dtypes = self.manifest["state_dtypes"]
+        self.state = []
+        for i in range(self.manifest["n_state_leaves"]):
+            a = z[f"leaf_{i}"]
+            if dtypes[i] == "bfloat16":
+                a = a.view(ml_dtypes.bfloat16)
+            self.state.append(jnp.asarray(a))

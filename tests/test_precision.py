@@ -87,3 +87,44 @@ def test_streamer_bf16_runs_and_matches():
     cos = float(np.sum(y32 * y16)
                 / (np.linalg.norm(y32) * np.linalg.norm(y16) + 1e-12))
     assert cos > 0.98, cos
+
+
+def test_export_bf16_streamer_roundtrip(tmp_path):
+    """A bf16 Streamer exports (state dtypes recorded as bfloat16) and the
+    exported artifact reproduces the live bf16 host."""
+    import json
+
+    from after_tpu.streaming.export import ExportedStreamer, export_streamer
+
+    cfg = micro_cfg(n_signal=16, streaming=True)
+    pipe = TransferPipeline(cfg)
+    variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)
+    s16 = Streamer(cfg, chunk_size=4, compute_dtype="bfloat16")
+    v16 = s16.prepare_variables(variables)
+
+    out = str(tmp_path / "art16")
+    export_streamer(s16, v16, out, nb_steps=2)
+    manifest = json.load(open(out + "/manifest.json"))
+    assert "bfloat16" in manifest["state_dtypes"]
+
+    host = ExportedStreamer(out)
+    state = s16.init_state(v16)
+    rng = np.random.RandomState(0)
+    A = s16.audio_chunk
+    for c in range(3):
+        a = jnp.asarray(0.1 * rng.randn(1, A, 1).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.randn(1, A, 1).astype(np.float32))
+        key = jax.random.wrap_key_data(
+            jnp.asarray([c + 1, 42], jnp.uint32))
+        zs_live, state = s16.structure(v16, state, a)
+        zt_live, state = s16.timbre(v16, state, b)
+        z_live, state = s16.diffuse(v16, state, zs_live, zt_live, 2, rng=key)
+        y_live, state = s16.decode(v16, state, z_live)
+
+        zs = host.call("structure", a)
+        zt = host.call("timbre", b)
+        z = host.call("diffuse", zs, zt,
+                      jnp.asarray([c + 1, 42], jnp.uint32))
+        y = host.call("decode", z)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_live),
+                                   atol=1e-4, err_msg=f"chunk {c}")
