@@ -52,7 +52,13 @@ def available_steps(model_dir: str) -> List[int]:
 
 def restore_checkpoint(model_dir: str, step: Optional[int] = None,
                        target: Any = None) -> Any:
-    """Restore the pytree at `step` (default: latest)."""
+    """Restore the pytree at `step` (default: latest).
+
+    Checkpoints are portable across device environments: a state saved
+    during multi-device training restores on a single inference chip (and
+    vice versa).  Without a `target`, arrays come back as host numpy —
+    orbax would otherwise re-bind the shardings recorded at save time,
+    which reference devices that may not exist here."""
     steps = available_steps(model_dir)
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {model_dir}")
@@ -64,7 +70,18 @@ def restore_checkpoint(model_dir: str, step: Optional[int] = None,
                 lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
                 if hasattr(x, "shape") or np.isscalar(x) else x, target)
             return ckptr.restore(path, abstract)
-        return ckptr.restore(path)
+        meta = ckptr.metadata(path)
+        tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+        dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                           sharding=dev)
+            if hasattr(m, "shape") else m, tree)
+        try:
+            return ckptr.restore(path, abstract)
+        except Exception:
+            # older orbax layouts: fall back to the recorded shardings
+            return ckptr.restore(path)
 
 
 def filter_partial_load(restored: Dict, current: Dict,

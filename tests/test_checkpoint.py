@@ -1,8 +1,10 @@
 """Checkpoint save/restore round trip + resume semantics."""
 
 import dataclasses
+import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -48,3 +50,34 @@ def test_partial_load_masks():
     current = {"encoder": 10, "encoder_time": 20, "net": 30}
     out = filter_partial_load(restored, current, (True, False, True))
     assert out == {"encoder": 1, "encoder_time": 20, "net": 3}
+
+
+def test_restore_is_topology_portable(tmp_path):
+    """A checkpoint saved under an 8-device mesh restores in a process with
+    a single device (production: train multi-chip, serve on one chip)."""
+    import subprocess
+    import sys
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    x = jax.device_put(jnp.arange(16.0).reshape(8, 2),
+                       NamedSharding(mesh, P("data")))
+    save_checkpoint(str(tmp_path), 0, {"a": x})
+
+    code = f"""
+import os
+os.environ.pop("XLA_FLAGS", None)   # single CPU device
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import numpy as np
+from after_tpu.utils.checkpoint import restore_checkpoint
+assert len(jax.devices()) == 1, jax.devices()
+r = restore_checkpoint({repr(str(tmp_path))})
+assert float(np.asarray(r["a"]).sum()) == 120.0
+print("PORTABLE_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0 and "PORTABLE_OK" in r.stdout, r.stderr[-1500:]
