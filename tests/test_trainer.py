@@ -130,3 +130,22 @@ def test_nonfinite_batch_skips_update_and_batch_stats():
     assert all(np.isfinite(l).all()
                for l in jax.tree_util.tree_leaves(
                    jax.tree_util.tree_map(np.asarray, variables)))
+
+
+def test_training_with_scan_layers():
+    """scan_layers trains: gradients flow through the nn.scan blocks and the
+    loss decreases on the micro synthetic task."""
+    cfg = micro_config()
+    cfg = dataclasses.replace(
+        cfg, denoiser=dataclasses.replace(cfg.denoiser, scan_layers=True))
+    cfg = with_overrides(cfg, {"train.timbre_warmup": 100,
+                               "train.batch_size": 2})
+    tr = DiffusionTrainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0), 2)
+    assert "blocks" in state.variables["net"]["params"]
+    losses = []
+    state = tr.fit(state, synthetic_batches(30), max_steps=30,
+                   callback=lambda s, m: losses.append(
+                       float(m["diffusion_loss"])))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
