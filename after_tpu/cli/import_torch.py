@@ -30,7 +30,7 @@ def build_argparser():
 
 
 def main(argv=None) -> int:
-        from ..utils.checkpoint import save_checkpoint
+    from ..utils.checkpoint import save_checkpoint
     from ..utils.port_torch import (load_reference_checkpoint, map_codec,
                                     map_denoiser_v2, map_ecapa)
 

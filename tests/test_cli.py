@@ -93,3 +93,21 @@ def test_update_dataset(corpus, tmp_path):
     z = ae.get("z")
     assert z.shape == (8, 4096 // cfg.ratio)   # stored (C, T)
     assert np.isfinite(z).all()
+
+
+def test_all_cli_modules_import_and_parse():
+    """Every CLI submodule imports (a stray syntax error once shipped in
+    import_torch.py) and its argparser builds."""
+    import importlib
+
+    from after_tpu.cli import main as main_mod
+    for mod_name, attr in [
+            ("after_tpu.cli.prepare_dataset", "build_argparser"),
+            ("after_tpu.cli.train", "build_argparser"),
+            ("after_tpu.cli.train_autoencoder", "build_argparser"),
+            ("after_tpu.cli.import_torch", "build_argparser"),
+    ]:
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, attr)), mod_name
+    from after_tpu.cli.export import build_argparser as export_parser
+    assert export_parser("export") is not None
