@@ -111,3 +111,19 @@ def test_all_cli_modules_import_and_parse():
         assert callable(getattr(mod, attr)), mod_name
     from after_tpu.cli.export import build_argparser as export_parser
     assert export_parser("export") is not None
+
+
+def test_every_module_imports():
+    """Package-wide import sweep: no module may fail to compile/import."""
+    import importlib
+    import pkgutil
+
+    import after_tpu
+
+    bad = []
+    for m in pkgutil.walk_packages(after_tpu.__path__, "after_tpu."):
+        try:
+            importlib.import_module(m.name)
+        except Exception as e:  # pragma: no cover - failure reporting
+            bad.append((m.name, repr(e)))
+    assert not bad, bad
