@@ -42,7 +42,8 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                     out_dir: str, nb_steps: int = 1,
                     guidance_timbre: float = 1.0,
                     guidance_structure: float = 1.0,
-                    batch_size: int = 1, donate_state: bool = True) -> str:
+                    batch_size: int = 1, donate_state: bool = True,
+                    projector_params: Any = None) -> str:
     """Serialize the streaming methods to `out_dir`.
 
     donate_state bakes input->output aliasing for the stream-state leaves
@@ -81,6 +82,15 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
             rng=jax.random.wrap_key_data(rng))), (zs_in, zt_in, rng_in)),
         "decode": (pack(lambda st, z: streamer.decode(
             variables, st, z)), (lat_in,)),
+        "generate": (pack(lambda st, zs, zt, rng: streamer.generate(
+            variables, st, zs, zt, nb_steps, guidance_timbre,
+            guidance_structure,
+            rng=jax.random.wrap_key_data(rng))), (zs_in, zt_in, rng_in)),
+        "generate_timbre": (pack(
+            lambda st, x, zt, rng: streamer.generate_timbre(
+                variables, st, x, zt, nb_steps, guidance_timbre,
+                guidance_structure, rng=jax.random.wrap_key_data(rng))),
+            (audio_in, zt_in, rng_in)),
     }
 
     for name, (fn, xs) in methods.items():
@@ -93,6 +103,22 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
         # (native/stream_host.cc compiles this via PJRT_Client_Compile)
         with open(os.path.join(out_dir, f"{name}.mlir.bc"), "wb") as f:
             f.write(exp.mlir_module_serialized)
+
+    if projector_params is not None:
+        # stateless XY-pad maps (reference latent2map/map2latent)
+        xy_in = jnp.zeros((batch_size, 2), jnp.float32)
+        for name, fn, xs in (
+                ("latent2map",
+                 lambda zt: streamer.latent2map(projector_params, zt),
+                 (zt_in,)),
+                ("map2latent",
+                 lambda xy: streamer.map2latent(projector_params, xy),
+                 (xy_in,))):
+            exp = jexport.export(jax.jit(fn))(*xs)
+            with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
+                f.write(exp.serialize())
+            with open(os.path.join(out_dir, f"{name}.mlir.bc"), "wb") as f:
+                f.write(exp.mlir_module_serialized)
 
     # serialized CompileOptionsProto for the native host
     try:
@@ -149,6 +175,8 @@ class ExportedStreamer:
         self.reset(path)
 
     def call(self, name: str, *xs):
+        if self.manifest["methods"].get(name, {}).get("stateless"):
+            return self._methods[name].call(*xs)
         y, new_state = self._methods[name].call(self.state, *xs)
         self.state = list(new_state)
         return y

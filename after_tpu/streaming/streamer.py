@@ -230,6 +230,52 @@ class Streamer:
         audio, state = self.decode(variables, state, z)
         return audio, state
 
+    @partial(jax.jit, static_argnums=(0, 5))
+    def generate(self, variables, state: StreamState, time_cond, zsem,
+                 nb_steps: int = 1, guidance_timbre: float = 1.0,
+                 guidance_structure: float = 1.0,
+                 rng: Optional[jax.Array] = None
+                 ) -> Tuple[jnp.ndarray, StreamState]:
+        """(structure codes, timbre vector) -> audio: diffuse + decode in one
+        graph (reference `generate`, export.py:475-478)."""
+        z, state = self.diffuse(variables, state, time_cond, zsem, nb_steps,
+                                guidance_timbre, guidance_structure, rng=rng)
+        return self.decode(variables, state, z)
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def generate_timbre(self, variables, state: StreamState, audio, zsem,
+                        nb_steps: int = 1, guidance_timbre: float = 1.0,
+                        guidance_structure: float = 1.0,
+                        rng: Optional[jax.Array] = None
+                        ) -> Tuple[jnp.ndarray, StreamState]:
+        """(structure audio, timbre vector) -> audio: encode structure from
+        the audio, diffuse with the given timbre, decode (reference
+        `generate_timbre` via diffuse_timbre, export.py:452-467, 481-484)."""
+        zs, state = self.structure(variables, state, audio)
+        z, state = self.diffuse(variables, state, zs, zsem, nb_steps,
+                                guidance_timbre, guidance_structure, rng=rng)
+        return self.decode(variables, state, z)
+
+    # -- XY-pad projector (reference latent2map/map2latent,
+    #    export.py:496-507; trained via utils/latent_map.py) --------------
+
+    @partial(jax.jit, static_argnums=0)
+    def latent2map(self, projector_params, zt: jnp.ndarray) -> jnp.ndarray:
+        """(B, zt) timbre vector -> (B, 2) map coordinates."""
+        from ..utils.latent_map import SmallAutoencoder
+        model = SmallAutoencoder(in_dim=self.cfg.zt_channels)
+        return model.apply(projector_params, zt * self.latent_range,
+                           method=SmallAutoencoder.encode)
+
+    @partial(jax.jit, static_argnums=0)
+    def map2latent(self, projector_params, xy: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2) map coordinates -> (B, zt) timbre vector."""
+        from ..utils.latent_map import SmallAutoencoder
+        model = SmallAutoencoder(in_dim=self.cfg.zt_channels)
+        zt = model.apply(projector_params, xy,
+                         method=SmallAutoencoder.decode)
+        return zt / self.latent_range
+
     # -- MIDI-to-audio streaming (reference export_midi.py:150-476) -------
 
     @partial(jax.jit, static_argnums=(0, 5))
@@ -274,4 +320,13 @@ class Streamer:
                             out_ratio=r),
             "decode": dict(in_channels=cfg.denoiser.n_channels, in_ratio=r,
                            out_channels=1, out_ratio=1),
+            "generate": dict(in_channels=cfg.zs_channels + cfg.zt_channels,
+                             in_ratio=r, out_channels=1, out_ratio=1),
+            "generate_timbre": dict(in_channels=1 + cfg.zt_channels,
+                                    in_ratio=1, out_channels=1, out_ratio=1),
+            "latent2map": dict(in_channels=cfg.zt_channels, in_ratio=1,
+                               out_channels=2, out_ratio=1, stateless=True),
+            "map2latent": dict(in_channels=2, in_ratio=1,
+                               out_channels=cfg.zt_channels, out_ratio=1,
+                               stateless=True),
         }

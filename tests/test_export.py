@@ -23,8 +23,13 @@ def exported(tmp_path_factory):
     streamer = Streamer(cfg, chunk_size=4)
     pipe = TransferPipeline(cfg)
     variables = pipe.init(jax.random.PRNGKey(0))
+    from after_tpu.utils.latent_map import SmallAutoencoder
+    proj = SmallAutoencoder(in_dim=cfg.zt_channels)
+    proj_params = proj.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.zt_channels)))
     out = str(tmp_path_factory.mktemp("export") / "artifact")
-    export_streamer(streamer, variables, out, nb_steps=2)
+    export_streamer(streamer, variables, out, nb_steps=2,
+                    projector_params=proj_params)
     return cfg, streamer, variables, out
 
 
@@ -63,3 +68,43 @@ def test_exported_full_chain_runs(exported):
     y = host.call("decode", z)
     assert y.shape == (1, streamer.audio_chunk, 1)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_exported_generate_and_projector(exported):
+    """generate == diffuse+decode; the stateless XY-pad maps round-trip."""
+    cfg, streamer, variables, out = exported
+    host = ExportedStreamer(out)
+    rng0 = np.random.RandomState(2)
+    zs = jnp.asarray(rng0.randn(1, 4, cfg.zs_channels).astype(np.float32))
+    zt = jnp.asarray(rng0.randn(1, cfg.zt_channels).astype(np.float32))
+    rng = jax.random.key_data(jax.random.PRNGKey(0))
+
+    y = host.call("generate", zs, zt, rng)
+    assert y.shape == (1, streamer.audio_chunk, 1)
+    # equivalence on a fresh host: diffuse+decode with identical state/rng
+    host2 = ExportedStreamer(out)
+    z = host2.call("diffuse", zs, zt, rng)
+    y2 = host2.call("decode", z)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+
+    # generate_timbre runs on audio + timbre vector
+    audio = jnp.asarray(
+        0.05 * rng0.randn(1, streamer.audio_chunk, 1).astype(np.float32))
+    host3 = ExportedStreamer(out)
+    y3 = host3.call("generate_timbre", audio, zt, rng)
+    assert y3.shape == (1, streamer.audio_chunk, 1)
+    assert np.isfinite(np.asarray(y3)).all()
+
+    # XY-pad maps: decode(encode(zt)) is finite and shaped; exported ==
+    # live projector
+    xy = host.call("latent2map", zt)
+    assert xy.shape == (1, 2)
+    zt_rec = host.call("map2latent", xy)
+    assert zt_rec.shape == (1, cfg.zt_channels)
+    from after_tpu.utils.latent_map import SmallAutoencoder
+    proj = SmallAutoencoder(in_dim=cfg.zt_channels)
+    proj_params = proj.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.zt_channels)))
+    xy_live = streamer.latent2map(proj_params, zt)
+    np.testing.assert_allclose(np.asarray(xy), np.asarray(xy_live),
+                               atol=1e-5)
