@@ -31,12 +31,37 @@ def build_argparser():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--restart", type=int, default=None)
+    p.add_argument("--load_encoders", default="1,1,1",
+                   help="restart partial-load mask 'encoder,encoder_time,net'"
+                        " (reference load_encoders, model.py:226-238)")
     p.add_argument("--ae_ratio", type=int, default=2048)
     p.add_argument("--sr", type=int, default=44100)
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N steps "
                         "to <run>/profile (view in TensorBoard)")
+    p.add_argument("--override", action="append", default=[],
+                   help="dotted config override, repeatable: "
+                        "--override denoiser.embed_dim=256 (value parsed as "
+                        "JSON; mirrors the reference's gin bindings)")
     return p
+
+
+def parse_override_args(pairs):
+    """'a.b=v' strings -> {path: value} with JSON-typed values."""
+    import json as _json
+    out = {}
+    for pair in pairs:
+        key, sep, raw = pair.partition("=")
+        if not sep:
+            raise ValueError(f"override {pair!r} is not of the form key=value")
+        try:
+            value = _json.loads(raw)
+        except _json.JSONDecodeError:
+            value = raw
+        if isinstance(value, list):
+            value = tuple(value)
+        out[key] = value
+    return out
 
 
 def main(argv=None) -> int:
@@ -44,12 +69,15 @@ def main(argv=None) -> int:
 
     from ..dataset import CombinedDataset, DataLoader, make_collate_fn
     from ..diffusion.trainer import DiffusionTrainer
-    from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+    from ..utils.checkpoint import (checkpoint_keys, filter_partial_load,
+                                    restore_checkpoint, save_checkpoint)
     from ..utils.logging import MetricsLogger
 
     args = build_argparser().parse_args(argv)
     names = tuple(args.config) if args.config else ("base",)
     cfg = get_config(*names)
+    if args.override:
+        cfg = with_overrides(cfg, parse_override_args(args.override))
 
     # probe latent geometry from the dataset (the reference probes by encoding
     # a dummy tensor through the codec, train.py:71-86; here the store already
@@ -81,21 +109,44 @@ def main(argv=None) -> int:
 
     trainer = DiffusionTrainer(cfg)
     state = trainer.init(jax.random.PRNGKey(0))
+
+    def state_tree(st):
+        """Full train state (reference saves opt_state too, model.py:157)."""
+        tree = {"variables": st.variables, "ema_params": st.ema_params,
+                "opt_state": st.opt_state, "step": st.step}
+        if st.cls_opt_state is not None:
+            tree["cls_opt_state"] = st.cls_opt_state
+        return tree
+
     if args.restart is not None:
-        restored = restore_checkpoint(model_dir, args.restart or None)
+        load_encoders = tuple(
+            bool(int(v)) for v in args.load_encoders.split(","))
+        step_arg = args.restart or None
+        keys = set(checkpoint_keys(model_dir, step_arg))
+        # target-based restore so the optimizer states come back with their
+        # optax namedtuple structure (not orbax's dict-ified form); keys
+        # absent from older checkpoints stay freshly initialised
+        target = {k: v for k, v in state_tree(state).items() if k in keys}
+        restored = restore_checkpoint(model_dir, step_arg, target=target)
+        variables = filter_partial_load(restored["variables"],
+                                        state.variables, load_encoders)
         state = dataclasses.replace(
-            state, variables=restored["variables"],
+            state, variables=variables,
             ema_params=restored["ema_params"],
+            opt_state=restored.get("opt_state", state.opt_state),
+            cls_opt_state=restored.get("cls_opt_state", state.cls_opt_state),
             step=int(restored["step"]))
-        print(f"[train] restarting from step {state.step}")
+        missing = {"opt_state"} - keys
+        if missing:
+            print(f"[train] checkpoint has no {sorted(missing)}; "
+                  "optimizer restarts fresh")
+        print(f"[train] restarting from step {state.step} "
+              f"(load_encoders={load_encoders})")
 
     def callback(st, metrics):
         logger.log(st.step, metrics)
         if st.step % cfg.train.steps_save == 0 and st.step > 0:
-            save_checkpoint(model_dir, st.step,
-                            {"variables": st.variables,
-                             "ema_params": st.ema_params,
-                             "step": st.step},
+            save_checkpoint(model_dir, st.step, state_tree(st),
                             config_json=to_json(cfg))
             print(f"[train] saved checkpoint at {st.step}")
         if st.step % cfg.train.steps_valid == 0 and st.step > 0:
@@ -120,9 +171,7 @@ def main(argv=None) -> int:
                                 max_steps=state.step + args.profile_steps,
                                 callback=callback)
     state = trainer.fit(state, iter(loader), callback=callback)
-    save_checkpoint(model_dir, state.step,
-                    {"variables": state.variables,
-                     "ema_params": state.ema_params, "step": state.step},
+    save_checkpoint(model_dir, state.step, state_tree(state),
                     config_json=to_json(cfg))
     return 0
 

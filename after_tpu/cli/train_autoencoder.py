@@ -61,7 +61,8 @@ def main(argv=None) -> int:
     from ..config import AETrainConfig, ae_to_json, get_ae_config
     from ..dataset import CombinedDataset, DataLoader
     from ..autoencoder import AutoencoderTrainer
-    from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+    from ..utils.checkpoint import (checkpoint_keys, restore_checkpoint,
+                                    save_checkpoint)
     from ..utils.logging import MetricsLogger
 
     args = build_argparser().parse_args(argv)
@@ -90,26 +91,39 @@ def main(argv=None) -> int:
     assert abs(y.shape[1] - tc.num_signal) <= ae_cfg.ratio, \
         "codec round-trip shape mismatch"
 
+    def state_tree(st):
+        """Full AE train state: both optimizer states ride along (reference
+        saves model+discriminator+both opts, trainer.py:345-364)."""
+        return {"codec_vars": st.codec_vars, "disc_vars": st.disc_vars,
+                "opt_state": st.opt_state,
+                "disc_opt_state": st.disc_opt_state, "step": st.step}
+
     if args.restart is not None:
-        restored = restore_checkpoint(model_dir, args.restart or None)
+        step_arg = args.restart or None
+        keys = set(checkpoint_keys(model_dir, step_arg))
+        target = {k: v for k, v in state_tree(state).items() if k in keys}
+        restored = restore_checkpoint(model_dir, step_arg, target=target)
         state = dataclasses.replace(
             state, codec_vars=restored["codec_vars"],
-            disc_vars=restored["disc_vars"], step=int(restored["step"]))
+            disc_vars=restored["disc_vars"],
+            opt_state=restored.get("opt_state", state.opt_state),
+            disc_opt_state=restored.get("disc_opt_state",
+                                        state.disc_opt_state),
+            step=int(restored["step"]))
+        if "opt_state" not in keys:
+            print("[train_autoencoder] checkpoint has no optimizer state; "
+                  "optimizers restart fresh")
         print(f"[train_autoencoder] restart from {state.step}")
 
     def callback(st, metrics):
         logger.log(st.step, metrics)
         if st.step % tc.steps_save == 0 and st.step > 0:
-            save_checkpoint(model_dir, st.step,
-                            {"codec_vars": st.codec_vars,
-                             "disc_vars": st.disc_vars, "step": st.step},
+            save_checkpoint(model_dir, st.step, state_tree(st),
                             config_json=ae_to_json(ae_cfg))
 
     print(f"[train_autoencoder] {args.name}: ratio={ae_cfg.ratio}, "
           f"batch={tc.batch_size}")
     state = trainer.fit(state, iter(loader), callback=callback)
-    save_checkpoint(model_dir, state.step,
-                    {"codec_vars": state.codec_vars,
-                     "disc_vars": state.disc_vars, "step": state.step},
+    save_checkpoint(model_dir, state.step, state_tree(state),
                     config_json=ae_to_json(ae_cfg))
     return 0

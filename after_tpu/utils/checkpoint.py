@@ -50,6 +50,23 @@ def available_steps(model_dir: str) -> List[int]:
     return sorted(steps)
 
 
+def checkpoint_keys(model_dir: str, step: Optional[int] = None) -> List[str]:
+    """Top-level keys stored in the checkpoint at `step` (default: latest).
+
+    Used for backward/forward-compatible restores: older checkpoints carry
+    only {variables, ema_params, step}; newer ones add the optimizer states
+    (the reference saves opt_state too, model.py:157)."""
+    steps = available_steps(model_dir)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {model_dir}")
+    step = step if step is not None else steps[-1]
+    path = _ckpt_dir(model_dir, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(path)
+        tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+        return list(tree.keys()) if hasattr(tree, "keys") else []
+
+
 def restore_checkpoint(model_dir: str, step: Optional[int] = None,
                        target: Any = None) -> Any:
     """Restore the pytree at `step` (default: latest).

@@ -56,3 +56,43 @@ def test_ae_params_update():
     leaf1 = np.asarray(jax.tree_util.tree_leaves(
         state.codec_vars["params"])[0])
     assert not np.allclose(leaf0, leaf1)
+
+
+def test_ae_full_state_resume_bit_exact(tmp_path):
+    """AE resume with both optimizer states continues bit-exact vs. an
+    uninterrupted run (reference trainer.py:345-364 saves both opts)."""
+    from after_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    ae, tc, dc = micro_ae()
+    tr = AutoencoderTrainer(ae, tc, dc)
+    s = tr.init(jax.random.PRNGKey(0), 1)
+    s = tr.fit(s, batches(4), max_steps=4, rng=jax.random.PRNGKey(5))
+
+    save_checkpoint(str(tmp_path), s.step,
+                    {"codec_vars": s.codec_vars, "disc_vars": s.disc_vars,
+                     "opt_state": s.opt_state,
+                     "disc_opt_state": s.disc_opt_state, "step": s.step})
+    cont = tr.fit(s, batches(3, seed=9), max_steps=7,
+                  rng=jax.random.PRNGKey(6))
+
+    tr2 = AutoencoderTrainer(ae, tc, dc)
+    fresh = tr2.init(jax.random.PRNGKey(1), 1)
+    target = {"codec_vars": fresh.codec_vars, "disc_vars": fresh.disc_vars,
+              "opt_state": fresh.opt_state,
+              "disc_opt_state": fresh.disc_opt_state, "step": 0}
+    restored = restore_checkpoint(str(tmp_path), target=target)
+    s2 = dataclasses.replace(
+        fresh, codec_vars=restored["codec_vars"],
+        disc_vars=restored["disc_vars"], opt_state=restored["opt_state"],
+        disc_opt_state=restored["disc_opt_state"],
+        step=int(restored["step"]))
+    cont2 = tr2.fit(s2, batches(3, seed=9), max_steps=7,
+                    rng=jax.random.PRNGKey(6))
+
+    for name in ("codec_vars", "disc_vars", "opt_state", "disc_opt_state"):
+        a = jax.tree_util.tree_leaves(getattr(cont, name))
+        b = jax.tree_util.tree_leaves(getattr(cont2, name))
+        assert len(a) == len(b) and a, name
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)

@@ -45,6 +45,67 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert state2.step == 5
 
 
+def test_full_state_resume_bit_exact(tmp_path):
+    """Saving/restoring the FULL train state (incl. Adam moments and the
+    classifier optimizer) makes a resumed run continue bit-exact vs. an
+    uninterrupted one (reference saves opt_state, model.py:157,241-246)."""
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {"train.timbre_warmup": 0,
+                               "train.update_classifier_every": 3})
+    tr = DiffusionTrainer(cfg)
+    s = tr.init(jax.random.PRNGKey(0), 2)
+    s = tr.fit(s, synthetic_batches(4), max_steps=4,
+               rng=jax.random.PRNGKey(5))
+
+    mdir = str(tmp_path / "run")
+    save_checkpoint(mdir, s.step,
+                    {"variables": s.variables, "ema_params": s.ema_params,
+                     "opt_state": s.opt_state,
+                     "cls_opt_state": s.cls_opt_state, "step": s.step})
+
+    # uninterrupted continuation (donates s's buffers — checkpoint already
+    # written above)
+    cont = tr.fit(s, synthetic_batches(3, seed=9), max_steps=7,
+                  rng=jax.random.PRNGKey(6))
+
+    # fresh process equivalent: new trainer, restore with target so optax
+    # namedtuple structure is preserved
+    tr2 = DiffusionTrainer(cfg)
+    fresh = tr2.init(jax.random.PRNGKey(123), 2)
+    target = {"variables": fresh.variables, "ema_params": fresh.ema_params,
+              "opt_state": fresh.opt_state,
+              "cls_opt_state": fresh.cls_opt_state, "step": 0}
+    restored = restore_checkpoint(mdir, target=target)
+    s2 = dataclasses.replace(
+        fresh, variables=restored["variables"],
+        ema_params=restored["ema_params"],
+        opt_state=restored["opt_state"],
+        cls_opt_state=restored["cls_opt_state"],
+        step=int(restored["step"]))
+    cont2 = tr2.fit(s2, synthetic_batches(3, seed=9), max_steps=7,
+                    rng=jax.random.PRNGKey(6))
+
+    assert cont.step == cont2.step == 7
+    for name in ("variables", "opt_state", "cls_opt_state", "ema_params"):
+        a = jax.tree_util.tree_leaves(getattr(cont, name))
+        b = jax.tree_util.tree_leaves(getattr(cont2, name))
+        assert len(a) == len(b) and a, name
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)
+
+
+def test_checkpoint_keys_backcompat(tmp_path):
+    """Older checkpoints without optimizer state are detectable so restores
+    can fall back to fresh optimizers."""
+    from after_tpu.utils.checkpoint import checkpoint_keys
+    save_checkpoint(str(tmp_path), 5,
+                    {"variables": {"net": jnp.zeros((2,))},
+                     "ema_params": jnp.zeros((2,)), "step": 5})
+    keys = set(checkpoint_keys(str(tmp_path)))
+    assert "variables" in keys and "opt_state" not in keys
+
+
 def test_partial_load_masks():
     restored = {"encoder": 1, "encoder_time": 2, "net": 3}
     current = {"encoder": 10, "encoder_time": 20, "net": 30}

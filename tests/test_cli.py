@@ -95,6 +95,63 @@ def test_update_dataset(corpus, tmp_path):
     assert np.isfinite(z).all()
 
 
+MICRO_OVERRIDES = [
+    "--override", "denoiser.embed_dim=64",
+    "--override", "denoiser.n_layers=1",
+    "--override", "denoiser.noise_embed_dims=16",
+    "--override", "denoiser.mlp_multiplier=2",
+    "--override", "encoder.channels=[8,8,8,16]",
+    "--override", "encoder_time.channels=[8,8,8,8,12]",
+    "--override", "classifier.channels=[8,8,8,8,6]",
+    "--override", "train.n_signal=32",
+]
+
+
+@pytest.fixture
+def z_store(tmp_path):
+    """Synthetic latent store (8 records, z as (C=8, T=200))."""
+    from after_tpu.dataset import RecordWriter
+    rng = np.random.RandomState(0)
+    db = tmp_path / "zdb"
+    with RecordWriter(str(db)) as w:
+        for i in range(8):
+            ae = AudioExample()
+            ae.put_array("z", rng.randn(8, 200).astype(np.float32))
+            ae.put_metadata({"name": f"rec{i}"})
+            w.put(f"{i:08d}", ae.serialize())
+    return db
+
+
+def test_train_cli_restart_restores_opt_state(z_store, tmp_path):
+    """CLI restart: full train state (opt_state + cls_opt_state) is saved
+    and restored (reference model.py:157,241-247)."""
+    from after_tpu.utils.checkpoint import checkpoint_keys, restore_checkpoint
+
+    out = tmp_path / "runs"
+    base = ["train", "--name", "r", "--db_path", str(z_store),
+            "--out_path", str(out), "--config", "tiny",
+            "--batch_size", "2", *MICRO_OVERRIDES]
+    assert cli_main(base + ["--max_steps", "2"]) == 0
+    mdir = str(out / "r")
+    keys = set(checkpoint_keys(mdir, 2))
+    assert {"variables", "ema_params", "opt_state", "cls_opt_state",
+            "step"} <= keys
+
+    # resume with the optimizer state and continue to step 4
+    assert cli_main(base + ["--max_steps", "4", "--restart", "2"]) == 0
+    assert int(restore_checkpoint(mdir, 4)["step"]) == 4
+    assert "opt_state" in set(checkpoint_keys(mdir, 4))
+
+
+def test_parse_override_args():
+    from after_tpu.cli.train import parse_override_args
+    out = parse_override_args(["a.b=3", "c=[1,2]", "d=hello", "e=0.5",
+                               "f=true"])
+    assert out == {"a.b": 3, "c": (1, 2), "d": "hello", "e": 0.5, "f": True}
+    with pytest.raises(ValueError):
+        parse_override_args(["novalue"])
+
+
 def test_all_cli_modules_import_and_parse():
     """Every CLI submodule imports (a stray syntax error once shipped in
     import_torch.py) and its argparser builds."""
