@@ -56,16 +56,21 @@ def _path_str(path) -> str:
 
 
 def param_sharding_specs(params: Any, tp: bool = True) -> Any:
-    """PartitionSpec tree for a param pytree: TP rules or full replication."""
+    """PartitionSpec tree for a param pytree: TP rules or full replication.
+
+    Scan-form denoisers (cfg.scan_layers) stack per-layer params under a
+    leading layer axis; a rule whose spec is one dim short of the leaf rank
+    applies with that axis left unsharded (P(None, *spec))."""
 
     def spec_for(path, leaf):
         if tp:
             s = _path_str(path)
             for pat, spec in _TP_RULES:
-                if re.match(pat, s) and all(
-                        d is None or True for d in spec):
+                if re.match(pat, s):
                     if len(spec) == leaf.ndim:
                         return spec
+                    if len(spec) + 1 == leaf.ndim:
+                        return P(None, *spec)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

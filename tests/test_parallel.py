@@ -10,7 +10,7 @@ def test_mesh_and_param_specs():
     from after_tpu.parallel import make_mesh, param_sharding_specs
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
-    mesh = make_mesh(n_data=len(jax.devices()) // 2, n_model=2)
+    mesh = make_mesh(n_data=min(4, len(jax.devices()) // 2), n_model=2)
     assert mesh.axis_names == ("data", "model")
 
     params = {"block_0": {"attn": {"qkv": {"kernel": jnp.zeros((64, 192))}},
@@ -86,3 +86,66 @@ def test_multihost_helpers_single_process():
     assert g["x"].shape == (8, 4, 2)
     assert len(g["x"].sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
+
+
+def test_tp_specs_tolerate_scan_layer_axis():
+    """Scan-form block params (leading layer axis) must still receive
+    model-axis shardings (VERDICT r1: rules silently missed ndim-3 leaves)."""
+    from jax.sharding import PartitionSpec as P
+
+    from after_tpu.parallel import param_sharding_specs
+
+    params = {"blocks": {"block": {
+        "attn": {"qkv": {"kernel": jnp.zeros((4, 64, 192))}},
+        "mlp": {"Dense_0": {"kernel": jnp.zeros((4, 64, 128)),
+                            "bias": jnp.zeros((4, 128))},
+                "Dense_1": {"kernel": jnp.zeros((4, 128, 64))}}}}}
+    specs = param_sharding_specs(params)
+    blk = specs["blocks"]["block"]
+    assert blk["attn"]["qkv"]["kernel"] == P(None, None, "model")
+    assert blk["mlp"]["Dense_0"]["kernel"] == P(None, None, "model")
+    assert blk["mlp"]["Dense_0"]["bias"] == P(None, "model")
+    assert blk["mlp"]["Dense_1"]["kernel"] == P(None, "model", None)
+
+
+def test_tp_sharded_scan_forward_matches_replicated():
+    """A scan_layers denoiser forward under TP shardings equals the
+    unsharded forward."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models import SMALL_DN
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from after_tpu.models.denoiser import Denoiser
+    from after_tpu.parallel import (make_mesh, param_sharding_specs,
+                                    shard_variables)
+
+    cfg = dataclasses.replace(SMALL_DN, scan_layers=True)
+    dn = Denoiser(cfg)
+    B, T = 4, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.n_channels))
+    t = jnp.full((B,), 0.4)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.cond_dim))
+    tcond = jax.random.normal(jax.random.PRNGKey(2), (B, T, cfg.tcond_dim))
+    variables = dn.init(jax.random.PRNGKey(3), x, t, cond, tcond)
+
+    # the scanned qkv kernel must actually get a model-axis spec
+    specs = param_sharding_specs(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(
+        specs, is_leaf=lambda s: isinstance(s, P))
+    model_sharded = ["/".join(str(getattr(p, "key", p)) for p in path)
+                     for path, s in flat if "model" in s]
+    assert any("qkv" in p for p in model_sharded), model_sharded
+
+    y_ref = dn.apply(variables, x, t, cond, tcond)
+
+    mesh = make_mesh(n_data=min(4, len(jax.devices()) // 2), n_model=2)
+    sharded = shard_variables(variables, mesh, tp=True)
+    xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        y_tp = jax.jit(dn.apply)(sharded, xb, t, cond, tcond)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               atol=2e-5)
