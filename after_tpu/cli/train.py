@@ -36,6 +36,13 @@ def build_argparser():
                         " (reference load_encoders, model.py:226-238)")
     p.add_argument("--ae_ratio", type=int, default=2048)
     p.add_argument("--sr", type=int, default=44100)
+    p.add_argument("--augmentation_keys", action="append", default=None,
+                   help="timbre augmentation buffers to sample x_cond crops "
+                        "from; pass 'all' to discover z_aug_* keys from the "
+                        "store (reference train.py:105-122)")
+    p.add_argument("--timbre_limit", type=float, default=None,
+                   help="window timbre crops to +/- n_signal*limit frames "
+                        "around the target crop (reference utils.py:78-87)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N steps "
                         "to <run>/profile (view in TensorBoard)")
@@ -84,9 +91,21 @@ def main(argv=None) -> int:
     # holds latents, so probe the first record)
     path_dict = {os.path.basename(p.rstrip("/")) or f"db{i}": p
                  for i, p in enumerate(args.db_path)}
-    dataset = CombinedDataset(path_dict, keys=["z", "midi_bytes", "metadata"]
-                              if cfg.structure_type == "midi" else
-                              ["z", "metadata"], config="train")
+    base_keys = (["z", "midi_bytes", "metadata"]
+                 if cfg.structure_type == "midi" else ["z", "metadata"])
+    dataset = CombinedDataset(path_dict, keys=base_keys, config="train")
+
+    # timbre augmentation: sample x_cond crops from the pitch/stretch
+    # augmented latents prepare_dataset wrote (reference train.py:105-122
+    # discovers the keys from the store and binds them into the collate)
+    aug_keys = list(args.augmentation_keys or [])
+    if aug_keys == ["all"]:
+        aug_keys = sorted(k for k in dataset.example_keys()
+                          if k != "z" and "aug" in k)
+    if aug_keys:
+        print(f"[train] timbre augmentation keys: {aug_keys}")
+        dataset = CombinedDataset(path_dict, keys=base_keys + aug_keys,
+                                  config="train")
     probe = dataset[0]["z"]
     in_size = probe.shape[0]
     cfg = cfg.resolved(in_size=in_size)
@@ -100,7 +119,9 @@ def main(argv=None) -> int:
     logger = MetricsLogger(model_dir)
 
     collate = make_collate_fn(cfg.train.n_signal, cfg.structure_type,
-                              args.ae_ratio, args.sr)
+                              args.ae_ratio, args.sr,
+                              timbre_limit=args.timbre_limit,
+                              timbre_augmentation_keys=tuple(aug_keys))
     loader = DataLoader(dataset, cfg.train.batch_size, collate,
                         weights=dataset.example_weights)
     valset = CombinedDataset(path_dict, keys=["z", "metadata"],

@@ -143,6 +143,48 @@ def test_train_cli_restart_restores_opt_state(z_store, tmp_path):
     assert "opt_state" in set(checkpoint_keys(mdir, 4))
 
 
+def test_prepare_augment_then_train_consumes_z_aug(corpus, tmp_path, capsys):
+    """e2e: prepare_dataset --augmentations writes z_aug_* latents and the
+    train CLI discovers + consumes them (reference train.py:105-122)."""
+    import jax
+    import jax.numpy as jnp
+
+    from after_tpu.config import AutoEncoderConfig, ae_to_json
+    from after_tpu.models import AudioCodec
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1)
+    codec = AudioCodec(cfg)
+    num_signal = 64 * cfg.ratio  # 64 latent frames per record
+    variables = jax.jit(codec.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, num_signal, 1)))
+    ckpt = tmp_path / "codec_ckpt"
+    save_checkpoint(str(ckpt), 0, {"codec_vars": variables},
+                    config_json=ae_to_json(cfg))
+
+    db = tmp_path / "db_aug"
+    rc = cli_main(["prepare_dataset", "--input_path", str(corpus),
+                   "--output_path", str(db), "--num_signal", str(num_signal),
+                   "--emb_model_path", str(ckpt), "--augmentations", "2",
+                   "--max_files", "2"])
+    assert rc == 0
+    reader = RecordReader(str(db))
+    ae = AudioExample(reader.get(reader.keys()[0]))
+    assert {"z", "z_aug_0", "z_aug_1"} <= set(ae.get_keys())
+    assert ae.get("z_aug_0").shape == ae.get("z").shape
+
+    out = tmp_path / "runs_aug"
+    rc = cli_main(["train", "--name", "a", "--db_path", str(db),
+                   "--out_path", str(out), "--config", "tiny",
+                   "--batch_size", "2", "--max_steps", "1",
+                   "--augmentation_keys", "all", *MICRO_OVERRIDES])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "timbre augmentation keys: ['z_aug_0', 'z_aug_1']" in stdout
+
+
 def test_parse_override_args():
     from after_tpu.cli.train import parse_override_args
     out = parse_override_args(["a.b=3", "c=[1,2]", "d=hello", "e=0.5",

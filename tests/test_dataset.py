@@ -154,3 +154,50 @@ def test_latent_map_projector(tmp_path):
     rgb = generate_map_png(np.asarray(m2d), png, bins=64, sigma=3)
     assert rgb.shape == (64, 64, 3)
     assert open(png, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_collate_timbre_augmentation_keys():
+    """x_cond crops come from the augmented buffers when keys are given
+    (reference utils.py:58-75); short augments fall back to z."""
+    from after_tpu.dataset import make_collate_fn
+
+    n_signal = 16
+    batch = []
+    for bi in range(4):
+        batch.append({
+            "z": np.zeros((8, 64), np.float32),
+            "z_aug_0": np.full((8, 64), 1.0, np.float32),
+            "z_aug_1": np.full((8, 64), 2.0, np.float32),
+        })
+    collate = make_collate_fn(n_signal, "audio",
+                              timbre_augmentation_keys=("z_aug_0", "z_aug_1"))
+    out = collate(batch)
+    assert out["x"].shape == (4, n_signal, 8)
+    # targets come from z (zeros); timbre crops from the augment buffers
+    assert np.all(out["x"] == 0.0)
+    vals = np.unique(out["x_cond"])
+    assert set(vals.tolist()) <= {1.0, 2.0} and len(vals) >= 1
+
+    # an augment that is too short falls back to the original z
+    batch_short = [{"z": np.zeros((8, 64), np.float32),
+                    "z_aug_0": np.full((8, 10), 3.0, np.float32)}]
+    collate1 = make_collate_fn(n_signal, "audio",
+                               timbre_augmentation_keys=("z_aug_0",))
+    out1 = collate1(batch_short)
+    assert np.all(out1["x_cond"] == 0.0)
+
+
+def test_collate_timbre_limit():
+    """timbre_limit windows the x_cond crop near the target crop
+    (reference utils.py:78-87)."""
+    from after_tpu.dataset import make_collate_fn
+
+    n_signal, T = 8, 256
+    z = np.arange(T, dtype=np.float32)[None].repeat(2, 0)  # (C=2, T)
+    batch = [{"z": z} for _ in range(16)]
+    collate = make_collate_fn(n_signal, "audio", timbre_limit=0.5)
+    out = collate(batch)
+    # start offset of each crop = first element along T (values are aranges)
+    for bi in range(16):
+        d = abs(out["x_cond"][bi, 0, 0] - out["x"][bi, 0, 0])
+        assert d <= n_signal * 0.5 + 1e-6
