@@ -378,3 +378,125 @@ def test_beat_this_audio2beats_smoke():
     assert (np.diff(beats) > 0).all() if len(beats) > 1 else True
     assert all(0 <= b <= 3.5 for b in beats)
     assert all(d in beats for d in downs) or len(downs) == 0
+
+
+def test_import_torch_cli_full_diffusion_and_transfer(tmp_path,
+                                                      ref_transformerv2):
+    """One `import_torch` CLI call ports a COMPLETE reference diffusion
+    checkpoint (net + encoder + encoder_time + classifier; composition as in
+    reference train.py:88-95), and TransferPipeline.transfer runs end to end
+    on it together with a CLI-imported codec."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from ref_loader import (load_reference_codec_module,
+                            load_reference_ecapa, load_reference_encoder1d)
+
+    from after_tpu.cli.main import main as cli_main
+    from after_tpu.config import Encoder1DConfig, get_config, with_overrides
+    from after_tpu.diffusion.pipeline import TransferPipeline
+    from after_tpu.models import Encoder1D
+    from after_tpu.utils.checkpoint import restore_checkpoint
+
+    torch.manual_seed(0)
+    dn = ref_transformerv2.DenoiserV2(
+        n_channels=8, seq_len=32, embed_dim=128, cond_dim=6, tcond_dim=12,
+        noise_embed_dims=32, n_layers=2, mlp_multiplier=2, dropout=0.0,
+        causal=True, pos_emb_type="rotary", local_attention_size=8,
+        attention_chunk_size=4).eval()
+    ecapa_mod = load_reference_ecapa()
+    enc = ecapa_mod.ECAPATDNN(
+        in_size=8, out_dim=6, channels=[32, 32, 32, 64],
+        kernel_sizes=[3, 3, 3, 3], dilations=[1, 1, 1, 1],
+        groups=[1, 1, 1, 1], res2net_scale=8, se_channels=16,
+        attention_channels=16, global_context=True, pooling=True,
+        use_tanh=False, spherical_normalisation=False,
+        regularisation="ac").eval()
+    e1d_mod = load_reference_encoder1d()
+    enc_t = e1d_mod.Encoder1D(in_size=8, channels=[16, 16, 12],
+                              ratios=[1, 1], kernel_size=5, use_tanh=False,
+                              average_out=False, upscale_out=False,
+                              ac_regularisation=True).eval()
+    cls = e1d_mod.Encoder1D(in_size=12, channels=[16, 6], ratios=[1],
+                            kernel_size=5, average_out=True,
+                            ac_regularisation=True).eval()
+
+    sd = {}
+    for pref, m in [("net.", dn), ("encoder.", enc),
+                    ("encoder_time.", enc_t), ("classifier.", cls)]:
+        sd.update({pref + k: v for k, v in m.state_dict().items()})
+    pt = tmp_path / "checkpoint100000_EMA.pt"
+    torch.save({"model_state": sd}, str(pt))
+
+    out = tmp_path / "imported"
+    rc = cli_main(["import_torch", "--checkpoint", str(pt), "--type",
+                   "diffusion", "--n_layers", "2", "--n_ecapa_blocks", "4",
+                   "--out", str(out)])
+    assert rc == 0
+    variables = restore_checkpoint(str(out))["variables"]
+    assert {"net", "encoder", "encoder_time", "classifier"} <= set(variables)
+
+    # encoder_time survives the CLI + orbax round trip exactly
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 32, 8).astype(np.float32)
+    with torch.no_grad():
+        z_ref = enc_t(torch.from_numpy(x.transpose(0, 2, 1)))
+    cfg_et = Encoder1DConfig(in_size=8, channels=(16, 16, 12), ratios=(1, 1),
+                             kernel_size=5, causal=False)
+    z, _, _ = Encoder1D(cfg_et).apply(
+        jax.tree_util.tree_map(jnp.asarray, dict(variables["encoder_time"])),
+        jnp.asarray(x))
+    mse = float(np.mean((np.asarray(z)
+                         - z_ref.numpy().transpose(0, 2, 1)) ** 2))
+    assert mse < 1e-6, f"encoder_time CLI round-trip MSE {mse}"
+
+    # codec import (norm-free streaming variant exercises --use_norm 0)
+    sns = load_reference_codec_module()
+    codec_ref = sns.AutoEncoder(
+        in_channels=4, channels=8, z_channels=8, multipliers=[1, 2, 2],
+        factors=[2, 2], dilations=[1, 3, 9], kernel_size=3,
+        bottleneck=sns.ReluBottleneck(sigma=0.0, scale=3), use_norm=False,
+        decoder_ratio=1.5, pqmf_bands=4, use_loudness=True,
+        use_noise=False).eval()
+    pt_codec = tmp_path / "codec.pt"
+    torch.save(codec_ref.state_dict(), str(pt_codec))
+    out_codec = tmp_path / "imported_codec"
+    rc = cli_main(["import_torch", "--checkpoint", str(pt_codec), "--type",
+                   "codec", "--n_stages", "2", "--use_norm", "0",
+                   "--out", str(out_codec)])
+    assert rc == 0
+    codec_vars = restore_checkpoint(str(out_codec))["codec_vars"]
+
+    cfg = get_config("tiny")
+    cfg = with_overrides(cfg, {
+        "denoiser.embed_dim": 128, "denoiser.n_layers": 2,
+        "denoiser.noise_embed_dims": 32, "denoiser.mlp_multiplier": 2,
+        "denoiser.dropout": 0.0,
+        "encoder.channels": (32, 32, 32, 64), "encoder.se_channels": 16,
+        "encoder.attention_channels": 16,
+        "encoder_time.channels": (16, 16, 12),
+        "encoder_time.ratios": (1, 1), "encoder_time.causal": False,
+        "classifier.in_size": 12, "classifier.channels": (16, 6),
+        "classifier.ratios": (1,), "classifier.average_out": True,
+        "autoencoder.pqmf_bands": 4, "autoencoder.z_channels": 8,
+        "autoencoder.base_channels": 8,
+        "autoencoder.multipliers": (1, 2, 2), "autoencoder.factors": (2, 2),
+        "autoencoder.dilations": (1, 3, 9),
+        "autoencoder.num_blocks_per_stage": 3,
+        "autoencoder.use_norm": False, "autoencoder.decoder_ratio": 1.5,
+        "autoencoder.bottleneck": "relu",
+        "autoencoder.bottleneck_sigma": 0.0,
+    }).resolved(in_size=8, n_signal=32)
+
+    pipe = TransferPipeline(cfg)
+    pvars = {"codec": jax.tree_util.tree_map(jnp.asarray, dict(codec_vars)),
+             "diffusion": jax.tree_util.tree_map(jnp.asarray,
+                                                 dict(variables))}
+    T = cfg.autoencoder.ratio * 32
+    a_struct = jnp.asarray(0.1 * rng.randn(1, T, 1).astype(np.float32))
+    a_timbre = jnp.asarray(0.1 * rng.randn(1, T, 1).astype(np.float32))
+    y = pipe.transfer(pvars, a_struct, a_timbre, 2)
+    y = np.asarray(y)
+    assert y.shape[0] == 1 and y.shape[2] == 1
+    assert np.isfinite(y).all()
