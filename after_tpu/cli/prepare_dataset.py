@@ -47,6 +47,12 @@ def build_argparser():
     p.add_argument("--basic_pitch", default=None,
                    help="path to a basic-pitch torch checkpoint: transcribe "
                         "audio to MIDI when no .mid file exists")
+    p.add_argument("--descriptors", action="append", default=None,
+                   help="audio descriptors to store per chunk, interpolated "
+                        "to the latent frame rate (reference "
+                        "prepare_dataset.py:350, transforms.py:273-337); "
+                        "repeatable, from {centroid,bandwidth,rolloff,"
+                        "flatness,rms}, or 'all'")
     p.add_argument("--beat_track", action="store_true",
                    help="store beat_clock/downbeat_clock phase ramps per "
                         "chunk (reference --beat_track)")
@@ -138,6 +144,10 @@ def main(argv=None) -> int:
     if args.beat_this_ckpt:
         from ..dataset.beat_tracker import Audio2Beats
         beat_tracker = Audio2Beats(args.beat_this_ckpt)
+    descriptor_names = list(args.descriptors or [])
+    if descriptor_names == ["all"]:
+        descriptor_names = ["centroid", "bandwidth", "rolloff", "flatness",
+                            "rms"]
     rng = np.random.RandomState(0)
 
     with RecordWriter(args.output_path) as writer:
@@ -178,6 +188,19 @@ def main(argv=None) -> int:
                                  get_beat_signal(beats, dur, z_len))
                     ae.put_array("downbeat_clock",
                                  get_beat_signal(downs, dur, z_len))
+                if descriptor_names:
+                    from ..dataset.transforms import audio_descriptors
+                    z_len = (args.num_signal // encoder.ratio
+                             if encoder is not None
+                             else args.num_signal // 2048)
+                    feats = audio_descriptors(pending[bi], args.sr, z_len)
+                    unknown = set(descriptor_names) - set(feats)
+                    if unknown:
+                        raise SystemExit(
+                            f"unknown descriptors {sorted(unknown)}; "
+                            f"available: {sorted(feats)}")
+                    for name in descriptor_names:
+                        ae.put_array(name, feats[name])
                 if encoder is not None and args.augmentations > 0:
                     for ai in range(args.augmentations):
                         aug = pitch_stretch_augment(pending[bi], args.sr, rng)

@@ -226,3 +226,38 @@ def test_every_module_imports():
         except Exception as e:  # pragma: no cover - failure reporting
             bad.append((m.name, repr(e)))
     assert not bad, bad
+
+
+def test_prepare_dataset_descriptors(corpus, tmp_path):
+    """--descriptors stores per-chunk spectral features at latent rate
+    (reference prepare_dataset.py:350-357, transforms.py:273-337)."""
+    out = tmp_path / "db_desc"
+    rc = cli_main(["prepare_dataset", "--input_path", str(corpus),
+                   "--output_path", str(out), "--num_signal", "65536",
+                   "--save_waveform", "--descriptors", "centroid",
+                   "--descriptors", "flatness"])
+    assert rc == 0
+    reader = RecordReader(str(out))
+    ae = AudioExample(reader.get(reader.keys()[0]))
+    c = ae.get("centroid")
+    f = ae.get("flatness")
+    assert c.shape == (65536 // 2048,) and f.shape == c.shape
+    assert np.isfinite(c).all() and 0 < c.mean() < 22050
+    assert np.all(f >= 0) and np.all(f <= 1.0 + 1e-6)
+    assert "bandwidth" not in ae.get_keys()
+
+    # 'all' expands; unknown names fail with a clear error
+    out2 = tmp_path / "db_desc_all"
+    rc = cli_main(["prepare_dataset", "--input_path", str(corpus),
+                   "--output_path", str(out2), "--num_signal", "65536",
+                   "--save_waveform", "--descriptors", "all",
+                   "--max_files", "1"])
+    assert rc == 0
+    ae2 = AudioExample(RecordReader(str(out2)).get("00000000"))
+    assert {"centroid", "bandwidth", "rolloff", "flatness",
+            "rms"} <= set(ae2.get_keys())
+    with pytest.raises(SystemExit):
+        cli_main(["prepare_dataset", "--input_path", str(corpus),
+                  "--output_path", str(tmp_path / "db_bad"),
+                  "--num_signal", "65536", "--save_waveform",
+                  "--descriptors", "bogus", "--max_files", "1"])
