@@ -93,6 +93,10 @@ class Encoder1DConfig:
     ac_regularisation: bool = True
     causal: bool = True           # encoder_time/convs.get_padding.mode='causal' (base.gin:53)
     dropout: float = 0.15         # encoder.py:54
+    # optional FSQ bottleneck on the codes (encoder.py:129,289-290:
+    # vector_quantizer); len(levels) must equal the output channel count
+    quantizer_levels: Optional[Tuple[int, ...]] = None
+    quantizer_noise_dropout: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -118,6 +122,10 @@ class AutoEncoderConfig:
     bottleneck_scale: float = 3.0       # ReluBottleneck scale (baseAE.gin:36-38)
     bottleneck_sigma: float = 0.01
     causal: bool = False                # baseAE.gin keeps centered padding (streaming uses crossfade)
+    # route ConvBlock1d snake+conv through the fused Pallas kernel on TPU
+    # for offline/batched serving (ops/pallas/fused_conv.py); no-op when
+    # ops.pallas.enabled() is False or a shape is uncovered
+    fused_kernels: bool = False
 
     @property
     def ratio(self) -> int:

@@ -92,6 +92,7 @@ class ConvBlock1d(nn.Module):
     use_norm: bool = True
     mode: str = "centered"
     streaming: bool = False
+    fused: bool = False       # route snake+conv through the Pallas kernel
 
     @nn.compact
     def __call__(self, x):
@@ -100,11 +101,15 @@ class ConvBlock1d(nn.Module):
         if self.use_norm:
             h = StreamGroupNorm(self.num_groups, streaming=self.streaming,
                                 name="gn")(h)
-        h = SnakeBeta(in_c, name="act")(h)
-        h = StreamConv1d(self.out_c, self.kernel_size, stride=self.stride,
-                         dilation=self.dilation, mode=self.mode,
-                         streaming=self.streaming, name="conv")(h)
-        return h
+        act = SnakeBeta(in_c, name="act")
+        conv = StreamConv1d(self.out_c, self.kernel_size, stride=self.stride,
+                            dilation=self.dilation, mode=self.mode,
+                            streaming=self.streaming, name="conv")
+        if self.fused and not self.streaming:
+            # one VMEM-resident pass on TPU; StreamConv1d falls back to the
+            # unfused lax path when the kernel does not cover the shape
+            return conv(h, snake=act())
+        return conv(act(h))
 
 
 class ResnetBlock1d(nn.Module):
@@ -119,15 +124,17 @@ class ResnetBlock1d(nn.Module):
     use_res: bool = True
     mode: str = "centered"
     streaming: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_c = x.shape[-1]
         h = ConvBlock1d(self.out_c, self.kernel_size, 1, self.dilation,
                         self.num_groups, self.use_norm, self.mode,
-                        self.streaming, name="block1")(x)
+                        self.streaming, self.fused, name="block1")(x)
         h = ConvBlock1d(self.out_c, 1, 1, 1, self.num_groups, self.use_norm,
-                        self.mode, self.streaming, name="block2")(h)
+                        self.mode, self.streaming, self.fused,
+                        name="block2")(h)
         if not self.use_res:
             return h
         res = x
@@ -150,6 +157,7 @@ class DownsampleBlock1d(nn.Module):
     use_norm: bool
     mode: str
     streaming: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -158,7 +166,8 @@ class DownsampleBlock1d(nn.Module):
         for i in range(self.num_layers):
             h = ResnetBlock1d(in_c, self.kernel_size, self.dilations[i],
                               self.num_groups, self.use_norm, True, self.mode,
-                              self.streaming, name=f"res_{i}")(h)
+                              self.streaming, self.fused,
+                              name=f"res_{i}")(h)
         h = SnakeBeta(in_c, name="act")(h)
         h = StreamConv1d(self.out_c, 2 * self.factor, stride=self.factor,
                          mode=self.mode, streaming=self.streaming,
@@ -179,6 +188,7 @@ class UpsampleBlock1d(nn.Module):
     use_norm: bool
     mode: str
     streaming: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -189,7 +199,8 @@ class UpsampleBlock1d(nn.Module):
         for i in range(self.num_layers):
             h = ResnetBlock1d(self.out_c, self.kernel_size, self.dilations[i],
                               self.num_groups, self.use_norm, True, self.mode,
-                              self.streaming, name=f"res_{i}")(h)
+                              self.streaming, self.fused,
+                              name=f"res_{i}")(h)
         return h
 
 
@@ -207,14 +218,16 @@ class CodecEncoder(nn.Module):
         num_blocks = cfg.num_blocks_per_stage
         out_channels = cfg.z_channels * (2 if cfg.bottleneck == "vae" else 1)
 
+        fused = cfg.fused_kernels
         h = ResnetBlock1d(ch * cfg.multipliers[0], cfg.kernel_size, 1,
                           cfg.resnet_groups, cfg.use_norm, True, mode,
-                          self.streaming, name="to_in")(xb)
+                          self.streaming, fused, name="to_in")(xb)
         for i, f in enumerate(cfg.factors):
             h = DownsampleBlock1d(ch * cfg.multipliers[i + 1], f, num_blocks,
                                   cfg.dilations, cfg.kernel_size,
                                   cfg.resnet_groups, cfg.use_norm, mode,
-                                  self.streaming, name=f"down_{i}")(h)
+                                  self.streaming, fused,
+                                  name=f"down_{i}")(h)
         h = SnakeBeta(ch * cfg.multipliers[-1], name="act")(h)
         h = StreamConv1d(out_channels, 3, mode=mode, streaming=self.streaming,
                          name="to_out")(h)
@@ -243,13 +256,14 @@ class CodecDecoder(nn.Module):
             h = UpsampleBlock1d(ch * mults[i + 1], f, num_blocks,
                                 cfg.dilations, cfg.kernel_size,
                                 cfg.resnet_groups, cfg.use_norm, mode,
-                                self.streaming, name=f"up_{i}")(h)
+                                self.streaming, cfg.fused_kernels,
+                                name=f"up_{i}")(h)
 
         to_out_c = out_c * 2 if cfg.use_loudness else out_c
         feats = h
         h = ResnetBlock1d(to_out_c, cfg.kernel_size, 1, cfg.resnet_groups,
                           cfg.use_norm, False, mode, self.streaming,
-                          name="to_out")(h)
+                          cfg.fused_kernels, name="to_out")(h)
 
         if cfg.use_loudness:
             y, amp = jnp.split(h, 2, axis=-1)

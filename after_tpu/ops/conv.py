@@ -25,7 +25,7 @@ identical to the reference):
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -80,8 +80,34 @@ class StreamConv1d(nn.Module):
     streaming: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
+    def _fusable(self, x, snake) -> bool:
+        """The Pallas fused snake+conv covers the offline stride-1 f32 case
+        with tileable shapes; everything else takes the lax path."""
+        if snake is None or self.streaming or self.stride != 1 \
+                or self.groups != 1:
+            return False
+        if self.mode == "valid" and self.kernel_size > 1:
+            return False  # kernel always emits out_len == in_len
+        from . import pallas as ops_pallas
+        if not ops_pallas.enabled():
+            return False
+        T, O = x.shape[1], self.features
+        t_tile = min(256, T)
+        if T % t_tile != 0 or t_tile % 8 != 0:
+            return False
+        if O > 512 and O % 256 != 0:
+            return False
+        # manual HBM->VMEM DMA: lane dim must sit on the (8,128) tiling
+        if x.shape[-1] % 128 != 0:
+            return False
+        return x.dtype == jnp.float32
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 snake: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 ) -> jnp.ndarray:
+        """With ``snake=(alpha, beta)``, computes conv(snake_beta(x)) —
+        fused into one Pallas kernel on TPU, or unfused on fallback."""
         in_features = x.shape[-1]
         kshape = (self.kernel_size, in_features // self.groups, self.features)
         # Kaiming-uniform fan_in init, matching torch Conv1d default so
@@ -104,6 +130,18 @@ class StreamConv1d(nn.Module):
                                                           self.param_dtype,
                                                           -bound, bound))
                 if self.use_bias else None)
+
+        if snake is not None:
+            if self._fusable(x, snake):
+                from . import pallas as ops_pallas
+                return ops_pallas.fused_snake_causal_conv(
+                    x, snake[0], snake[1], kernel,
+                    bias if bias is not None
+                    else jnp.zeros((self.features,), x.dtype),
+                    dilation=self.dilation, mode=self.mode,
+                    interpret=ops_pallas.interpret_mode())
+            from .snake import snake_beta
+            x = snake_beta(x, snake[0], snake[1])
 
         # raw lax.conv does not auto-promote like flax Dense; bring x and
         # kernel to a common dtype (no-op in pure-f32 or pure-bf16 graphs)

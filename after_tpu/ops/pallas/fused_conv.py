@@ -12,8 +12,15 @@ tap-sum runs as k MXU matmuls over the channel dim.  Overlapping time
 windows (the causal left context) are handled with manual HBM->VMEM copies
 since blocked BlockSpecs cannot overlap.
 
-Correctness is pinned to the lax path in tests/test_pallas.py; the codec
-uses it opportunistically on TPU (ops.pallas.enabled()).
+Correctness is pinned to the lax path in tests/test_pallas.py.  The codec
+routes ConvBlock1d through this kernel when
+``AutoEncoderConfig.fused_kernels`` is set and ``ops.pallas.enabled()``
+(StreamConv1d falls back to the lax path for shapes/modes the kernel does
+not cover: streaming, strides, groups, non-f32, ragged or lane-unaligned
+tiles).  Measured on a real v5e (scripts/bench_pallas_ab.py, batch-16
+base-codec decode): XLA's own conv fusion is 1.45x FASTER than this kernel,
+so ``fused_kernels`` defaults to off — the kernel is kept as a correct,
+Mosaic-aligned template for ops XLA fuses poorly.
 """
 
 from __future__ import annotations
@@ -28,13 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_hbm, alpha_ref, beta_ref, w_ref, b_ref, o_ref, *,
-            k: int, dilation: int, t_tile: int, pad: int):
+            k: int, dilation: int, t_tile: int, pad: int, buf_pad: int):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
 
     def body(xbuf, sem):
+        # DMA window length is `pad` rounded up to the (8,128) sublane tile
+        # (Mosaic: HBM memref slices must be 8-aligned along dim 1)
         dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + pad), :], xbuf, sem)
+            x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + buf_pad), :], xbuf, sem)
         dma.start()
         dma.wait()
         x = xbuf[:]
@@ -50,33 +59,46 @@ def _kernel(x_hbm, alpha_ref, beta_ref, w_ref, b_ref, o_ref, *,
 
     pl.run_scoped(
         body,
-        xbuf=pltpu.VMEM((t_tile + pad, x_hbm.shape[2]), jnp.float32),
+        xbuf=pltpu.VMEM((t_tile + buf_pad, x_hbm.shape[2]), jnp.float32),
         sem=pltpu.SemaphoreType.DMA)
 
 
 def fused_snake_causal_conv(x: jnp.ndarray, alpha: jnp.ndarray,
                             beta: jnp.ndarray, w: jnp.ndarray,
                             b: jnp.ndarray, dilation: int = 1,
-                            t_tile: int = 256,
+                            t_tile: int = 256, mode: str = "causal",
                             interpret: bool = False) -> jnp.ndarray:
-    """y = causal_conv(snake_beta(x)); x (B,T,C), w (k,C,O) -> (B,T,O)."""
+    """y = conv(snake_beta(x)); x (B,T,C), w (k,C,O) -> (B,T,O).
+
+    mode "causal" pads all left context; "centered" splits the pad as
+    ops.conv.get_padding does.  snake(0) == 0, so activating the zero pad
+    equals padding the activation (bit-identical to the unfused path)."""
     B, T, C = x.shape
     k, _, O = w.shape
     pad = (k - 1) * dilation
+    if mode == "causal" or pad == 0:
+        left, right = pad, 0
+    else:  # centered
+        left = (pad + 1) // 2
+        right = pad - left
     t_tile = min(t_tile, T)
     assert T % t_tile == 0, (T, t_tile)
+    assert t_tile % 8 == 0, t_tile  # DMA start must sit on a sublane tile
     o_tile = O if O <= 512 else 256
     assert O % o_tile == 0
 
-    xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+    # round the context window up to the 8-row sublane tile so the manual
+    # HBM slice is aligned (extra rows are DMA'd but never read by compute)
+    buf_pad = -(-pad // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (left, right + (buf_pad - pad)), (0, 0)))
     grid = (B, T // t_tile, O // o_tile)
 
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, dilation=dilation, t_tile=t_tile,
-                          pad=pad),
+                          pad=pad, buf_pad=buf_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, T + pad, C), lambda bi, ti, oi: (0, 0, 0),
+            pl.BlockSpec((B, T + buf_pad, C), lambda bi, ti, oi: (0, 0, 0),
                          memory_space=pl.ANY),
             pl.BlockSpec((1, C), lambda bi, ti, oi: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -21,19 +21,26 @@ def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.nda
 
 
 class SnakeBeta(nn.Module):
-    """Per-channel trainable snake-beta over (..., C)."""
+    """Per-channel trainable snake-beta over (..., C).
+
+    Calling with ``x=None`` returns the (transformed) ``(alpha, beta)``
+    parameters instead of applying the activation — used by the fused
+    Pallas snake+conv path (ops/pallas/fused_conv.py), which recomputes the
+    activation inside the conv kernel."""
 
     dim: int
     alpha_logscale: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray = None):
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.dim,))
         beta = self.param("beta", init, (self.dim,))
         if self.alpha_logscale:
             alpha = jnp.exp(alpha)
             beta = jnp.exp(beta)
+        if x is None:
+            return alpha, beta
         return snake_beta(x, alpha, beta)
 
 
