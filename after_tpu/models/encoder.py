@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config import Encoder1DConfig
 from ..ops.conv import StreamConv1d, StreamConvTranspose1d
+from ..ops.fsq import FSQ
 
 
 class V2ConvBlock1D(nn.Module):
@@ -140,12 +141,23 @@ class Encoder1D(nn.Module):
             noise_rng = rng if rng is not None else self.make_rng("sample")
             z = mean + std * jax.random.normal(noise_rng, mean.shape)
             kl = jnp.mean(jnp.sum(mean * mean + var - logvar - 1, axis=-1))
-            return z, mean, kl
         elif cfg.ac_regularisation:
+            z, mean = h, h
             kl = jnp.mean(nn.relu(jnp.abs(h) - 1))
-            return h, h, kl
         else:
-            return h, h, jnp.asarray(0.0)
+            z, mean, kl = h, h, jnp.asarray(0.0)
+
+        # optional FSQ bottleneck after the reparametrisation
+        # (encoder.py:129,289-290: vector_quantizer applied to the codes)
+        if cfg.quantizer_levels:
+            fsq = FSQ(cfg.quantizer_levels, cfg.quantizer_noise_dropout)
+            assert len(cfg.quantizer_levels) == z.shape[-1], \
+                (cfg.quantizer_levels, z.shape)
+            q_rng = None
+            if training and cfg.quantizer_noise_dropout > 0:
+                q_rng = rng if rng is not None else self.make_rng("sample")
+            z = fsq.quantize(z, q_rng)
+        return z, mean, kl
 
     def encode(self, x, training: bool = False):
         z, _, _ = self(x, training)
