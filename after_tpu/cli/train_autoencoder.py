@@ -31,10 +31,20 @@ def build_argparser():
 
 
 def make_wave_collate(num_signal: int, augment: bool, seed: int = 0):
+    import threading
+
     from ..dataset.transforms import random_gain, random_phase_mangle
-    rng = np.random.RandomState(seed)
+
+    # per-thread rng: prefetch threads of multiple iterators may call this
+    # concurrently (see dataset/collate.py)
+    local = threading.local()
 
     def collate(items):
+        rng = getattr(local, "rng", None)
+        if rng is None:
+            rng = np.random.RandomState(
+                (seed + threading.get_ident()) % (2 ** 31 - 1))
+            local.rng = rng
         out = []
         for it in items:
             w = np.asarray(it["waveform"], dtype=np.float32).reshape(-1)

@@ -8,10 +8,10 @@ Pure numpy on the host; output arrays feed the jitted train step.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-
 
 
 def make_collate_fn(n_signal: int, structure_type: str = "audio",
@@ -19,9 +19,21 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
                     timbre_limit: Optional[float] = None,
                     timbre_augmentation_keys: Sequence[str] = (),
                     seed: int = 0):
-    rng = np.random.RandomState(seed)
+    # one collate is typically shared by several DataLoaders whose prefetch
+    # threads call it concurrently; RandomState is not thread-safe, so each
+    # thread gets its own stream
+    local = threading.local()
+
+    def get_rng() -> np.random.RandomState:
+        rng = getattr(local, "rng", None)
+        if rng is None:
+            rng = np.random.RandomState(
+                (seed + threading.get_ident()) % (2 ** 31 - 1))
+            local.rng = rng
+        return rng
 
     def collate(batch: List[Dict]) -> Dict[str, np.ndarray]:
+        rng = get_rng()
         # latents stored as (C, T) in records (reference layout); we train in
         # (B, T, C)
         zs = [np.asarray(b["z"], dtype=np.float32) for b in batch]

@@ -131,27 +131,31 @@ class DataLoader:
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.weights = weights
-        self.rng = np.random.RandomState(seed)
+        # seeds per-iterator RandomStates; each iter() gets its own stream so
+        # concurrent iterators never race on shared rng state from their
+        # background threads
+        self._seed_rng = np.random.RandomState(seed)
         self.prefetch = prefetch
 
-    def _draw_indices(self) -> np.ndarray:
+    def _draw_indices(self, rng: np.random.RandomState) -> np.ndarray:
         n = len(self.dataset)
         if self.weights is not None:
-            return self.rng.choice(n, self.batch_size, p=self.weights)
-        return self.rng.randint(0, n, self.batch_size)
+            return rng.choice(n, self.batch_size, p=self.weights)
+        return rng.randint(0, n, self.batch_size)
 
-    def _make_batch(self) -> Dict:
-        items = [self.dataset[i] for i in self._draw_indices()]
+    def _make_batch(self, rng: np.random.RandomState) -> Dict:
+        items = [self.dataset[i] for i in self._draw_indices(rng)]
         return self.collate_fn(items)
 
     def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.RandomState(self._seed_rng.randint(0, 2 ** 31 - 1))
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def worker():
             while not stop.is_set():
                 try:
-                    q.put(self._make_batch(), timeout=1.0)
+                    q.put(self._make_batch(rng), timeout=1.0)
                 except queue_mod.Full:
                     continue
                 except Exception as e:  # surface data errors to the consumer

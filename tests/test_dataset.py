@@ -201,3 +201,19 @@ def test_collate_timbre_limit():
     for bi in range(16):
         d = abs(out["x_cond"][bi, 0, 0] - out["x"][bi, 0, 0])
         assert d <= n_signal * 0.5 + 1e-6
+
+
+def test_dataloader_concurrent_iterators(tmp_path):
+    """Two live iterators of one loader (and one shared collate) draw from
+    independent per-iterator/per-thread rng streams without racing."""
+    _write_store(str(tmp_path / "db"), n=16)
+    from after_tpu.dataset import make_collate_fn
+
+    ds = SimpleDataset(str(tmp_path / "db"), keys=["z"])
+    collate = make_collate_fn(16, "audio")
+    loader = DataLoader(ds, 4, collate, prefetch=2)
+    it1, it2 = iter(loader), iter(loader)
+    for _ in range(8):
+        b1, b2 = next(it1), next(it2)
+        assert b1["x"].shape == b2["x"].shape == (4, 16, 8)
+        assert np.isfinite(b1["x"]).all() and np.isfinite(b2["x"]).all()
