@@ -4,6 +4,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from after_tpu.config import (AETrainConfig, AutoEncoderConfig,
                               DiscriminatorConfig)
@@ -29,6 +30,7 @@ def batches(n, T=4096, seed=0):
         yield (0.1 * rng.randn(1, T, 1)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_ae_training_warmup_and_gan():
     ae, tc, dc = micro_ae()
     tr = AutoencoderTrainer(ae, tc, dc)
@@ -46,6 +48,7 @@ def test_ae_training_warmup_and_gan():
             assert np.isfinite(v)
 
 
+@pytest.mark.slow
 def test_ae_params_update():
     ae, tc, dc = micro_ae()
     tr = AutoencoderTrainer(ae, tc, dc)
@@ -58,6 +61,7 @@ def test_ae_params_update():
     assert not np.allclose(leaf0, leaf1)
 
 
+@pytest.mark.slow
 def test_ae_full_state_resume_bit_exact(tmp_path):
     """AE resume with both optimizer states continues bit-exact vs. an
     uninterrupted run (reference trainer.py:345-364 saves both opts)."""

@@ -16,6 +16,7 @@ from tests.test_diffusion import micro_config
 from tests.test_trainer import synthetic_batches
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     cfg = micro_config()
     cfg = with_overrides(cfg, {"train.timbre_warmup": 100})
@@ -45,6 +46,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert state2.step == 5
 
 
+@pytest.mark.slow
 def test_full_state_resume_bit_exact(tmp_path):
     """Saving/restoring the FULL train state (incl. Adam moments and the
     classifier optimizer) makes a resumed run continue bit-exact vs. an

@@ -122,6 +122,7 @@ def z_store(tmp_path):
     return db
 
 
+@pytest.mark.slow
 def test_train_cli_restart_restores_opt_state(z_store, tmp_path):
     """CLI restart: full train state (opt_state + cls_opt_state) is saved
     and restored (reference model.py:157,241-247)."""
@@ -143,6 +144,7 @@ def test_train_cli_restart_restores_opt_state(z_store, tmp_path):
     assert "opt_state" in set(checkpoint_keys(mdir, 4))
 
 
+@pytest.mark.slow
 def test_prepare_augment_then_train_consumes_z_aug(corpus, tmp_path, capsys):
     """e2e: prepare_dataset --augmentations writes z_aug_* latents and the
     train CLI discovers + consumes them (reference train.py:105-122)."""

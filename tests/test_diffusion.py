@@ -37,6 +37,7 @@ def micro_config() -> AfterConfig:
     return cfg.resolved(in_size=8, n_signal=32)
 
 
+@pytest.mark.slow
 def test_diffusion_loss_and_grad():
     cfg = micro_config()
     rf = RectifiedFlow(cfg)
@@ -117,6 +118,7 @@ def test_streaming_sampler_equals_offline():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_full_transfer_pipeline():
     cfg = micro_config()
     pipe = TransferPipeline(cfg)

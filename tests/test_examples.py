@@ -16,6 +16,9 @@ from after_tpu.dataset.midi import MidiFile, Note
 from after_tpu.diffusion import TransferPipeline
 from after_tpu.utils.checkpoint import save_checkpoint
 
+# full end-to-end CLI example runs: ~3 min of XLA CPU compiles
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MICRO = {

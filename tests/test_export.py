@@ -14,6 +14,9 @@ from after_tpu.streaming.export import ExportedStreamer, export_streamer
 from after_tpu.streaming.streamer import Streamer
 from tests.test_diffusion import micro_config
 
+# the module fixture exports 4+ StableHLO graphs (~1 min of CPU compiles)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def exported(tmp_path_factory):

@@ -119,6 +119,7 @@ def test_ecapa_shapes():
     assert z.shape == (2, 6)
 
 
+@pytest.mark.slow
 def test_codec_roundtrip_shapes():
     cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
                             multipliers=(1, 2, 2), factors=(2, 2),
@@ -154,6 +155,7 @@ def test_denoiser_v1_variants():
         assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_unet1d():
     from after_tpu.models import UNet1D, UNet1DConfig
     cfg = UNet1DConfig(in_size=8, channels=(16, 16), ratios=(2, 2),
@@ -198,6 +200,7 @@ def test_linear_encoder():
         assert np.isfinite(float(kl))
 
 
+@pytest.mark.slow
 def test_denoiser_v1_stream_equals_offline_prefix():
     """Streaming DenoiserV1 (self-attn + cross-attn KV caches) reproduces the
     offline output on each prefix while the cache window covers the sequence
@@ -276,6 +279,7 @@ def test_denoiser_v1_streaming_noncausal_cross_runs():
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_off), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_denoiser_scan_layers_equals_loop():
     """scan_layers=True (one lax.scan over stacked block params) must be
     numerically identical to the unrolled loop, offline and streaming."""
@@ -315,6 +319,7 @@ def test_denoiser_scan_layers_equals_loop():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder1d_fsq_bottleneck():
     """FSQ as Encoder1D vector_quantizer (reference encoder.py:129,289-290):
     codes land on the quantization grid, gradients flow straight-through,

@@ -27,6 +27,7 @@ def test_fused_snake_conv_matches_reference(k, d, C, O):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_codec_fused_kernels_route_and_match(monkeypatch):
     """fused_kernels=True routes ConvBlock1d snake+conv through the Pallas
     kernel (interpret mode on CPU) and matches the unfused codec; without

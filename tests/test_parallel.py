@@ -25,6 +25,7 @@ def test_mesh_and_param_specs():
     assert specs["out"]["kernel"] == P()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full_train_step():
     """The driver's multichip validation path: full diffusion train step
     jitted over a dp x tp mesh, one step executed."""
@@ -36,6 +37,7 @@ def test_dryrun_multichip_full_train_step():
     dryrun_multichip(len(jax.devices()))
 
 
+@pytest.mark.slow
 def test_sharded_cfg_inference():
     """The 3xCFG batched sampler runs SPMD with the batch sharded over the
     data axis (SURVEY §2.4: optional inference sharding)."""

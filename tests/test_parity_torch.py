@@ -338,6 +338,7 @@ def test_cached_group_norm_streaming_parity():
                                    err_msg=f"chunk {i}")
 
 
+@pytest.mark.slow
 def test_beat_this_parity():
     """BeatThis port == reference network (beat_tracker.py) with the same
     (random) weights: stem, partial F/T RoFormers, transformer, SumHead."""
@@ -367,6 +368,7 @@ def test_beat_this_parity():
                                    err_msg=f"head {k}")
 
 
+@pytest.mark.slow
 def test_beat_this_audio2beats_smoke():
     """End-to-end Audio2Beats with random weights: runs, returns sorted
     times within the clip."""

@@ -3,11 +3,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from after_tpu.config import get_config, with_overrides
 from after_tpu.diffusion import TransferPipeline
 from after_tpu.streaming import Streamer
 from after_tpu.utils.precision import cast_floating, resolve_dtype
+
+# each test jits a full pipeline twice (f32 + bf16): ~1 min apiece on CPU
+pytestmark = pytest.mark.slow
 
 
 def micro_cfg(n_signal=32, streaming=False):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from after_tpu.ops.streaming_spectral import (StreamableCQT,
                                               StreamableMelSpectrogram)
@@ -48,6 +49,7 @@ def test_cqt_peaks_at_tone_frequency():
     assert abs(peak_bin - expected) <= 1
 
 
+@pytest.mark.slow
 def test_descript_discriminator():
     from after_tpu.models.descript_discriminator import DescriptDiscriminator
     disc = DescriptDiscriminator(periods=(2, 3), fft_sizes=(512,))

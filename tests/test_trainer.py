@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from after_tpu.config import with_overrides
 from after_tpu.diffusion.trainer import (DiffusionTrainer,
@@ -28,6 +29,7 @@ def test_shuffle_time_chunks():
                                np.sort(np.asarray(x), axis=1))
 
 
+@pytest.mark.slow
 def test_phase1_training_steps():
     cfg = micro_config()
     cfg = with_overrides(cfg, {"train.timbre_warmup": 100,
@@ -43,6 +45,7 @@ def test_phase1_training_steps():
     assert all(m["adversarial_loss"] == 0.0 for m in losses)
 
 
+@pytest.mark.slow
 def test_phase2_with_classifier_and_cycle():
     cfg = micro_config()
     cfg = with_overrides(cfg, {
@@ -70,6 +73,7 @@ def test_phase2_with_classifier_and_cycle():
     assert any(m["cycle_cond"] != 0.0 for m in diff_steps)
 
 
+@pytest.mark.slow
 def test_params_change_and_net_only_in_phase1_frozen_encoders():
     cfg = micro_config()
     cfg = with_overrides(cfg, {"train.timbre_warmup": 100,
@@ -91,6 +95,7 @@ def test_params_change_and_net_only_in_phase1_frozen_encoders():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_nonfinite_batch_skips_update_and_batch_stats():
     """A batch whose backward produces non-finite gradients must not poison
     params, Adam moments, or BN running stats (optax.apply_if_finite guard;
@@ -132,6 +137,7 @@ def test_nonfinite_batch_skips_update_and_batch_stats():
                    jax.tree_util.tree_map(np.asarray, variables)))
 
 
+@pytest.mark.slow
 def test_training_with_scan_layers():
     """scan_layers trains: gradients flow through the nn.scan blocks and the
     loss decreases on the micro synthetic task."""
