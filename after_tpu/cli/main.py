@@ -8,6 +8,10 @@
     after-tpu train             diffusion training
     after-tpu export            a2a streaming export
     after-tpu export_midi       midi-to-audio streaming export
+
+plus two surfaces beyond the reference CLI: `import_torch` (port reference
+PyTorch checkpoints) and `serve` (local web XY-pad UI, the equivalent of the
+reference's Max4Live device layer, after.m4l/afterv2.js).
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ import sys
 
 AVAILABLE = ["prepare_dataset", "update_dataset", "train_autoencoder",
              "export_autoencoder", "train", "export", "export_midi",
-             "import_torch"]
+             "import_torch", "serve"]
 
 
 def main(argv=None):
@@ -43,6 +47,9 @@ def main(argv=None):
     if cmd == "import_torch":
         from . import import_torch
         return import_torch.main(rest)
+    if cmd == "serve":
+        from . import serve
+        return serve.main(rest)
     return 1
 
 

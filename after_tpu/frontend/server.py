@@ -1,0 +1,226 @@
+"""Local web frontend: the framework's end-user control surface.
+
+The reference ships Max4Live devices whose JS dynamically instantiates
+`nn~ <model> generate_timbre` and binds an XY pad over the model's density
+PNG (/root/reference/after.m4l/afterv2.js:44, the pad background is set to
+`<model>.png` at :66), plus manual "mega testor" Max patches
+(/root/reference/patchs/).  That UI is a Max-editor artifact around a
+libtorch host; the TPU-native equivalent here is a dependency-free local web
+app over `TransferPipeline`:
+
+- XY pad over the timbre-map density PNG (`utils/latent_map.py`), position
+  decoded to a timbre vector with the same SmallAutoencoder projector the
+  Max device uses (`map2latent` <-> `projector.decode`);
+- timbre can instead be set from an uploaded reference audio (the notebook
+  flow, audio_to_audio_demo.ipynb);
+- structure audio upload -> diffusion transfer -> rendered WAV back.
+
+Stdlib HTTP only (http.server); all model calls are serialized behind one
+lock (a single TPU chip serves one graph at a time anyway).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.io.wavfile
+
+from ..config import AfterConfig
+from ..dataset.audio import normalize_signal, resample
+from ..diffusion import TransferPipeline
+from ..utils.latent_map import (SmallAutoencoder, generate_map_png,
+                                png_bytes, train_projector)
+
+_STATIC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "index.html")
+
+
+def _parse_wav(data: bytes, target_sr: int) -> np.ndarray:
+    """WAV bytes -> float32 mono (T,) at target_sr."""
+    sr, x = scipy.io.wavfile.read(io.BytesIO(data))
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    elif x.dtype == np.int32:
+        x = x.astype(np.float32) / 2147483648.0
+    elif x.dtype == np.uint8:
+        x = (x.astype(np.float32) - 128.0) / 128.0
+    else:
+        x = x.astype(np.float32)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    if sr != target_sr:
+        x = resample(x, sr, target_sr)
+    return normalize_signal(x)
+
+
+def _wav_bytes(x: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    scipy.io.wavfile.write(buf, sr, (x * 32767).astype(np.int16))
+    return buf.getvalue()
+
+
+class AfterFrontend:
+    """Model-facing half of the web app: owns the pipeline, the current
+    timbre vector, and the XY-pad projector."""
+
+    def __init__(self, cfg: AfterConfig, variables,
+                 projector_params=None, embeddings: Optional[np.ndarray] = None,
+                 nb_steps: int = 20, max_seconds: float = 12.0):
+        self.cfg = cfg
+        self.pipe = TransferPipeline(cfg)
+        self.variables = self.pipe.prepare_variables(variables)
+        self.nb_steps = int(nb_steps)
+        self.max_samples = int(max_seconds * cfg.sr)
+        self.lock = threading.Lock()
+        self.zsem = np.zeros((1, cfg.zt_channels), np.float32)
+        self.projector = SmallAutoencoder(in_dim=cfg.zt_channels)
+        self.projector_params = projector_params
+        emb2d = None
+        if projector_params is not None and embeddings is not None:
+            emb2d = np.asarray(self.projector.apply(
+                projector_params, jnp.asarray(embeddings),
+                method=SmallAutoencoder.encode))
+        if emb2d is None:
+            emb2d = np.zeros((1, 2), np.float32)
+        rgb = generate_map_png(emb2d, os.devnull)
+        self.map_png = png_bytes(rgb)
+
+    # -- model ops (call under self.lock) ---------------------------------
+
+    def _prep_audio(self, wav: bytes) -> jnp.ndarray:
+        x = _parse_wav(wav, self.cfg.sr)[: self.max_samples]
+        ratio = self.cfg.autoencoder.ratio
+        T = max(ratio, (len(x) + ratio - 1) // ratio * ratio)
+        x = np.pad(x, (0, T - len(x)))
+        return jnp.asarray(x)[None, :, None]
+
+    def set_xy(self, x: float, y: float):
+        """XY-pad position -> timbre vector (afterv2.js pad -> map2latent)."""
+        if self.projector_params is None:
+            raise ValueError("no projector trained (pass --store to serve)")
+        xy = jnp.asarray([[float(x), float(y)]], jnp.float32)
+        self.zsem = np.asarray(self.projector.apply(
+            self.projector_params, xy, method=SmallAutoencoder.decode))
+        return self.zsem
+
+    def set_timbre_audio(self, wav: bytes):
+        """Reference-audio timbre (notebook flow); returns the pad position
+        of the new timbre if a projector exists."""
+        audio = self._prep_audio(wav)
+        z = self.pipe.encode(self.variables, audio)
+        self.zsem = np.asarray(self.pipe.timbre(self.variables, z))
+        if self.projector_params is not None:
+            xy = self.projector.apply(self.projector_params,
+                                      jnp.asarray(self.zsem),
+                                      method=SmallAutoencoder.encode)
+            return np.asarray(xy)[0].tolist()
+        return None
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _generate(self, variables, audio, nb_steps, zsem, gt, gs, rng):
+        z_struct = self.pipe.encode(variables, audio)
+        time_cond = self.pipe.structure(variables, z_struct)
+        x0 = jax.random.normal(rng, z_struct.shape)
+        z_out = self.pipe.diffuse(variables, x0, zsem, time_cond, nb_steps,
+                                  guidance_timbre=gt, guidance_structure=gs)
+        return self.pipe.decode(variables, z_out)
+
+    def transfer(self, wav: bytes, nb_steps: Optional[int] = None,
+                 guidance_timbre: float = 1.0, guidance_structure: float = 1.0,
+                 seed: int = 0) -> bytes:
+        audio = self._prep_audio(wav)
+        out = self._generate(self.variables, audio,
+                             int(nb_steps or self.nb_steps),
+                             jnp.asarray(self.zsem),
+                             jnp.float32(guidance_timbre),
+                             jnp.float32(guidance_structure),
+                             jax.random.PRNGKey(seed))
+        return _wav_bytes(np.asarray(out)[0, :, 0], self.cfg.sr)
+
+    def info(self) -> dict:
+        return {"sr": self.cfg.sr, "zt_channels": self.cfg.zt_channels,
+                "nb_steps": self.nb_steps,
+                "ratio": self.cfg.autoencoder.ratio,
+                "max_seconds": self.max_samples / self.cfg.sr,
+                "has_projector": self.projector_params is not None}
+
+
+def make_handler(app: AfterFrontend):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                with open(_STATIC, "rb") as f:
+                    self._send(200, f.read(), "text/html; charset=utf-8")
+            elif self.path == "/map.png":
+                self._send(200, app.map_png, "image/png")
+            elif self.path == "/api/info":
+                self._json(app.info())
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_POST(self):
+            try:
+                if self.path == "/api/xy":
+                    req = json.loads(self._body())
+                    with app.lock:
+                        z = app.set_xy(req["x"], req["y"])
+                    self._json({"zsem": z[0].tolist()})
+                elif self.path == "/api/timbre":
+                    with app.lock:
+                        xy = app.set_timbre_audio(self._body())
+                    self._json({"xy": xy})
+                elif self.path.startswith("/api/transfer"):
+                    from urllib.parse import parse_qs, urlparse
+                    q = {k: v[0] for k, v in
+                         parse_qs(urlparse(self.path).query).items()}
+                    with app.lock:
+                        wav = app.transfer(
+                            self._body(),
+                            nb_steps=int(q["steps"]) if "steps" in q else None,
+                            guidance_timbre=float(q.get("gt", 1.0)),
+                            guidance_structure=float(q.get("gs", 1.0)),
+                            seed=int(q.get("seed", 0)))
+                    self._send(200, wav, "audio/wav")
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:  # surface model errors to the client
+                self._json({"error": str(e)}, 400)
+
+    return Handler
+
+
+def serve(app: AfterFrontend, host: str = "127.0.0.1", port: int = 8675):
+    """Blocking server loop; returns the server if port==0 probing fails."""
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((host, port), make_handler(app))
+    print(f"[serve] after_tpu frontend at http://{host}:{server.server_port}")
+    server.serve_forever()

@@ -78,8 +78,8 @@ def train_projector(embeddings: np.ndarray, num_steps: int = 20000,
     return model, params
 
 
-def _write_png(path: str, rgb: np.ndarray) -> None:
-    """Minimal PNG writer for (H, W, 3) uint8."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal PNG encoder for (H, W, 3) uint8."""
     h, w, _ = rgb.shape
     raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
 
@@ -88,11 +88,15 @@ def _write_png(path: str, rgb: np.ndarray) -> None:
         return struct.pack(">I", len(data)) + c + struct.pack(
             ">I", zlib.crc32(c) & 0xFFFFFFFF)
 
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b""))
+
+
+def _write_png(path: str, rgb: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 9)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(rgb))
 
 
 def generate_map_png(embeddings_2d: np.ndarray, path: str, bins: int = 500,
