@@ -144,10 +144,15 @@ def main(argv=None) -> int:
     if args.beat_this_ckpt:
         from ..dataset.beat_tracker import Audio2Beats
         beat_tracker = Audio2Beats(args.beat_this_ckpt)
+    KNOWN_DESCRIPTORS = ["centroid", "bandwidth", "rolloff", "flatness",
+                         "rms"]
     descriptor_names = list(args.descriptors or [])
     if descriptor_names == ["all"]:
-        descriptor_names = ["centroid", "bandwidth", "rolloff", "flatness",
-                            "rms"]
+        descriptor_names = list(KNOWN_DESCRIPTORS)
+    unknown = set(descriptor_names) - set(KNOWN_DESCRIPTORS)
+    if unknown:  # fail before any audio is loaded/encoded
+        raise SystemExit(f"unknown descriptors {sorted(unknown)}; "
+                         f"available: {KNOWN_DESCRIPTORS} (or 'all')")
     rng = np.random.RandomState(0)
 
     with RecordWriter(args.output_path) as writer:
@@ -194,11 +199,6 @@ def main(argv=None) -> int:
                              if encoder is not None
                              else args.num_signal // 2048)
                     feats = audio_descriptors(pending[bi], args.sr, z_len)
-                    unknown = set(descriptor_names) - set(feats)
-                    if unknown:
-                        raise SystemExit(
-                            f"unknown descriptors {sorted(unknown)}; "
-                            f"available: {sorted(feats)}")
                     for name in descriptor_names:
                         ae.put_array(name, feats[name])
                 if encoder is not None and args.augmentations > 0:

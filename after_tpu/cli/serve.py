@@ -62,14 +62,27 @@ def load_frontend(args):
         from ..utils.latent_map import train_projector
 
         ds = SimpleDataset(args.store, keys=("z",))
+        if len(ds) == 0:
+            raise SystemExit(f"--store {args.store} is empty; cannot train "
+                             "the timbre map (omit --store to serve without "
+                             "the XY pad)")
         n = min(args.map_samples, len(ds))
         pipe = TransferPipeline(cfg)
         embs = []
         batch, bs = [], 16
+        shape0 = None
         for i in np.linspace(0, len(ds) - 1, n).astype(int):
             # records store latents as (C, T) (reference layout); the
             # pipeline runs (B, T, C)
-            batch.append(np.asarray(ds[int(i)]["z"], np.float32).T)
+            z = np.asarray(ds[int(i)]["z"], np.float32).T
+            if shape0 is None:
+                shape0 = z.shape
+            elif z.shape != shape0:
+                raise SystemExit(
+                    f"--store records have differing latent shapes "
+                    f"({shape0} vs {z.shape} at record {int(i)}); the timbre "
+                    "map needs fixed-length records (re-run prepare_dataset)")
+            batch.append(z)
             if len(batch) == bs:
                 z = jax.numpy.asarray(np.stack(batch))
                 embs.append(np.asarray(pipe.timbre(variables, z)))

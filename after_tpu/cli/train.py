@@ -43,6 +43,10 @@ def build_argparser():
     p.add_argument("--timbre_limit", type=float, default=None,
                    help="window timbre crops to +/- n_signal*limit frames "
                         "around the target crop (reference utils.py:78-87)")
+    p.add_argument("--compute_dtype", default=None,
+                   help="mixed-precision training compute dtype, e.g. "
+                        "bfloat16 (2x MXU rate on v5e); master params, "
+                        "optimizer, EMA and losses stay f32")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N steps "
                         "to <run>/profile (view in TensorBoard)")
@@ -104,8 +108,7 @@ def main(argv=None) -> int:
                           if k != "z" and "aug" in k)
     if aug_keys:
         print(f"[train] timbre augmentation keys: {aug_keys}")
-        dataset = CombinedDataset(path_dict, keys=base_keys + aug_keys,
-                                  config="train")
+        dataset.add_buffer_keys(aug_keys)  # no second store scan
     probe = dataset[0]["z"]
     in_size = probe.shape[0]
     cfg = cfg.resolved(in_size=in_size)
@@ -113,6 +116,9 @@ def main(argv=None) -> int:
         cfg = with_overrides(cfg, {"train.batch_size": args.batch_size})
     if args.max_steps:
         cfg = with_overrides(cfg, {"train.max_steps": args.max_steps})
+    if args.compute_dtype:
+        cfg = with_overrides(cfg, {"train.compute_dtype":
+                                   args.compute_dtype})
 
     model_dir = os.path.join(args.out_path, args.name)
     os.makedirs(model_dir, exist_ok=True)
@@ -151,11 +157,27 @@ def main(argv=None) -> int:
         restored = restore_checkpoint(model_dir, step_arg, target=target)
         variables = filter_partial_load(restored["variables"],
                                         state.variables, load_encoders)
+
+        def opt_if_compatible(key, fresh):
+            """Adopt a restored optimizer state only when its optax
+            structure survived the (lenient) restore — a config change or
+            an old checkpoint falls back to a fresh optimizer."""
+            got = restored.get(key)
+            if got is None or fresh is None:
+                return fresh
+            same = (jax.tree_util.tree_structure(got)
+                    == jax.tree_util.tree_structure(fresh))
+            if not same:
+                print(f"[train] {key} in checkpoint doesn't match the "
+                      "current config; optimizer restarts fresh")
+            return got if same else fresh
+
         state = dataclasses.replace(
             state, variables=variables,
             ema_params=restored["ema_params"],
-            opt_state=restored.get("opt_state", state.opt_state),
-            cls_opt_state=restored.get("cls_opt_state", state.cls_opt_state),
+            opt_state=opt_if_compatible("opt_state", state.opt_state),
+            cls_opt_state=opt_if_compatible("cls_opt_state",
+                                            state.cls_opt_state),
             step=int(restored["step"]))
         missing = {"opt_state"} - keys
         if missing:

@@ -113,12 +113,23 @@ def main(argv=None) -> int:
         keys = set(checkpoint_keys(model_dir, step_arg))
         target = {k: v for k, v in state_tree(state).items() if k in keys}
         restored = restore_checkpoint(model_dir, step_arg, target=target)
+
+        def opt_if_compatible(key, fresh):
+            got = restored.get(key)
+            if got is None or (jax.tree_util.tree_structure(got)
+                               != jax.tree_util.tree_structure(fresh)):
+                if got is not None:
+                    print(f"[train_autoencoder] {key} doesn't match the "
+                          "current config; optimizer restarts fresh")
+                return fresh
+            return got
+
         state = dataclasses.replace(
             state, codec_vars=restored["codec_vars"],
             disc_vars=restored["disc_vars"],
-            opt_state=restored.get("opt_state", state.opt_state),
-            disc_opt_state=restored.get("disc_opt_state",
-                                        state.disc_opt_state),
+            opt_state=opt_if_compatible("opt_state", state.opt_state),
+            disc_opt_state=opt_if_compatible("disc_opt_state",
+                                             state.disc_opt_state),
             step=int(restored["step"]))
         if "opt_state" not in keys:
             print("[train_autoencoder] checkpoint has no optimizer state; "

@@ -21,14 +21,21 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
                     seed: int = 0):
     # one collate is typically shared by several DataLoaders whose prefetch
     # threads call it concurrently; RandomState is not thread-safe, so each
-    # thread gets its own stream
+    # thread gets its own stream.  Streams are numbered by arrival order
+    # (not thread ident — idents are reused across thread lifetimes, which
+    # would replay identical streams and is irreproducible across runs).
     local = threading.local()
+    counter_lock = threading.Lock()
+    counter = [0]
 
     def get_rng() -> np.random.RandomState:
         rng = getattr(local, "rng", None)
         if rng is None:
+            with counter_lock:
+                stream_id = counter[0]
+                counter[0] += 1
             rng = np.random.RandomState(
-                (seed + threading.get_ident()) % (2 ** 31 - 1))
+                np.random.SeedSequence([seed, stream_id]).generate_state(1))
             local.rng = rng
         return rng
 
@@ -50,7 +57,9 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
                 zt = np.asarray(batch[bi].get(key, zs[bi]), dtype=np.float32)
                 if zt.shape[-1] < n_signal + 1:
                     zt = zs[bi]
-                i1 = rng.randint(0, zt.shape[-1] - n_signal)
+                # same guard as the main crop path: records may be exactly
+                # n_signal long
+                i1 = rng.randint(0, max(zt.shape[-1] - n_signal, 1))
                 x_timbre.append(zt[..., i1:i1 + n_signal])
             x_timbre = np.stack(x_timbre)
         else:

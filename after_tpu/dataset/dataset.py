@@ -61,6 +61,12 @@ class SimpleDataset:
     def example_keys(self) -> List[str]:
         return AudioExample(self.reader.get(self.keys[0])).get_keys()
 
+    def add_buffer_keys(self, keys: Sequence[str]) -> None:
+        """Select extra record buffers at read time (no store re-scan).
+        Only valid before iteration when init_cache was requested."""
+        assert self.cache is None, "cache already built with the old keys"
+        self.buffer_keys += [k for k in keys if k not in self.buffer_keys]
+
     def __getitem__(self, i: int) -> Dict[str, Any]:
         if self.cache is not None:
             return self.cache[i]
@@ -118,6 +124,10 @@ class CombinedDataset:
 
     def example_keys(self) -> List[str]:
         return self.datasets[0].example_keys()
+
+    def add_buffer_keys(self, keys: Sequence[str]) -> None:
+        for d in self.datasets:
+            d.add_buffer_keys(keys)
 
 
 class DataLoader:

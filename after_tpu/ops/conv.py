@@ -97,8 +97,10 @@ class StreamConv1d(nn.Module):
             return False
         if O > 512 and O % 256 != 0:
             return False
-        # manual HBM->VMEM DMA: lane dim must sit on the (8,128) tiling
-        if x.shape[-1] % 128 != 0:
+        # manual HBM->VMEM DMA: lane dim must sit on the (8,128) tiling.
+        # Mosaic-only constraint — the interpreter (CPU tests) has no lane
+        # tiling, so small-channel test codecs still exercise the kernel.
+        if not ops_pallas.interpret_mode() and x.shape[-1] % 128 != 0:
             return False
         return x.dtype == jnp.float32
 

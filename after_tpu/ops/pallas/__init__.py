@@ -29,4 +29,5 @@ def enabled() -> bool:
         return False
 
 
-from .fused_conv import fused_snake_causal_conv, reference_snake_causal_conv  # noqa: E402,F401
+from .fused_conv import (fused_snake_causal_conv,  # noqa: E402,F401
+                         reference_snake_causal_conv, reference_snake_conv)

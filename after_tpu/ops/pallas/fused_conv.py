@@ -72,7 +72,40 @@ def fused_snake_causal_conv(x: jnp.ndarray, alpha: jnp.ndarray,
 
     mode "causal" pads all left context; "centered" splits the pad as
     ops.conv.get_padding does.  snake(0) == 0, so activating the zero pad
-    equals padding the activation (bit-identical to the unfused path)."""
+    equals padding the activation (bit-identical to the unfused path).
+
+    Differentiable: the forward runs the Pallas kernel, the backward is the
+    lax reference's VJP (pallas_call has no transpose rule of its own), so
+    fused_kernels=True is safe under training, not just inference."""
+    return _fused_with_vjp(dilation, t_tile, mode, interpret)(
+        x, alpha, beta, w, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_with_vjp(dilation: int, t_tile: int, mode: str, interpret: bool):
+    @jax.custom_vjp
+    def f(x, alpha, beta, w, b):
+        return _pallas_forward(x, alpha, beta, w, b, dilation, t_tile, mode,
+                               interpret)
+
+    def fwd(x, alpha, beta, w, b):
+        return f(x, alpha, beta, w, b), (x, alpha, beta, w, b)
+
+    def bwd(res, g):
+        x, alpha, beta, w, b = res
+        _, vjp = jax.vjp(
+            lambda *args: reference_snake_conv(*args, dilation=dilation,
+                                               mode=mode),
+            x, alpha, beta, w, b)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _pallas_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
+                    w: jnp.ndarray, b: jnp.ndarray, dilation: int,
+                    t_tile: int, mode: str, interpret: bool) -> jnp.ndarray:
     B, T, C = x.shape
     k, _, O = w.shape
     pad = (k - 1) * dilation
@@ -118,12 +151,22 @@ def fused_snake_causal_conv(x: jnp.ndarray, alpha: jnp.ndarray,
     return out
 
 
-def reference_snake_causal_conv(x, alpha, beta, w, b, dilation=1):
-    """lax reference implementation (for tests and CPU fallback)."""
+def reference_snake_conv(x, alpha, beta, w, b, dilation=1, mode="causal"):
+    """lax reference implementation (tests, CPU fallback, and the backward
+    pass of the custom VJP)."""
     a = x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
     k = w.shape[0]
     pad = (k - 1) * dilation
+    if mode == "causal" or pad == 0:
+        left, right = pad, 0
+    else:
+        left = (pad + 1) // 2
+        right = pad - left
     y = jax.lax.conv_general_dilated(
-        a, w, (1,), [(pad, 0)], rhs_dilation=(dilation,),
+        a, w, (1,), [(left, right)], rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"))
     return y + b
+
+
+def reference_snake_causal_conv(x, alpha, beta, w, b, dilation=1):
+    return reference_snake_conv(x, alpha, beta, w, b, dilation, "causal")

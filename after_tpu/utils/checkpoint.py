@@ -82,20 +82,48 @@ def restore_checkpoint(model_dir: str, step: Optional[int] = None,
     step = step if step is not None else steps[-1]
     path = _ckpt_dir(model_dir, step)
     with ocp.StandardCheckpointer() as ckptr:
-        if target is not None:
-            abstract = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
-                if hasattr(x, "shape") or np.isscalar(x) else x, target)
-            return ckptr.restore(path, abstract)
         meta = ckptr.metadata(path)
         tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
         dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
-        abstract = jax.tree_util.tree_map(
-            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
-                                           sharding=dev)
-            if hasattr(m, "shape") else m, tree)
-        try:
+
+        def from_meta(m):
+            return jax.ShapeDtypeStruct(tuple(m.shape), m.dtype, sharding=dev)
+
+        def from_value(x):
+            return (jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+                    if hasattr(x, "shape") or np.isscalar(x) else x)
+
+        meta_abstract = jax.tree_util.tree_map(
+            lambda m: from_meta(m) if hasattr(m, "shape") else m, tree)
+        if target is not None and hasattr(tree, "keys"):
+            # Per-top-level-key LENIENT target: a target subtree restores
+            # the recorded structure (optax namedtuples survive) only when
+            # its leaf shapes match the checkpoint; on any mismatch — or for
+            # checkpoint keys the target doesn't carry — fall back to the
+            # checkpoint's own metadata structure so partial restarts
+            # (changed encoder configs, disabled classifiers) never crash
+            # here; filter_partial_load decides what to keep afterward.
+            abstract = {}
+            for k in tree.keys():
+                abstract[k] = jax.tree_util.tree_map(
+                    lambda m: from_meta(m) if hasattr(m, "shape") else m,
+                    tree[k])
+                if k in target:
+                    cand = jax.tree_util.tree_map(from_value, target[k])
+                    cand_shapes = sorted(
+                        str(getattr(l, "shape", l))
+                        for l in jax.tree_util.tree_leaves(cand))
+                    meta_shapes = sorted(
+                        str(getattr(l, "shape", l))
+                        for l in jax.tree_util.tree_leaves(abstract[k]))
+                    if cand_shapes == meta_shapes:
+                        abstract[k] = cand
             return ckptr.restore(path, abstract)
+        if target is not None:
+            return ckptr.restore(
+                path, jax.tree_util.tree_map(from_value, target))
+        try:
+            return ckptr.restore(path, meta_abstract)
         except Exception:
             # older orbax layouts: fall back to the recorded shardings
             return ckptr.restore(path)
@@ -105,12 +133,19 @@ def filter_partial_load(restored: Dict, current: Dict,
                         load_encoders=(True, True, True)) -> Dict:
     """Partial-load mask for restarts with frozen/absent encoders
     (reference load_encoders filter, model.py:226-238): positions are
-    (encoder, encoder_time, net)."""
-    out = dict(current)
+    (encoder, encoder_time, net).
+
+    Everything present in the checkpoint is loaded (incl. subtrees outside
+    the three flags, e.g. the adversarial classifier); a False flag reverts
+    that subtree to the current (fresh) params; subtrees missing from the
+    checkpoint stay fresh."""
+    out = dict(restored)
+    for k, v in current.items():
+        out.setdefault(k, v)
     names = [("encoder", load_encoders[0]),
              ("encoder_time", load_encoders[1]),
              ("net", load_encoders[2])]
     for name, load in names:
-        if load and name in restored:
-            out[name] = restored[name]
+        if not load and name in current:
+            out[name] = current[name]
     return out

@@ -115,6 +115,18 @@ def test_partial_load_masks():
     assert out == {"encoder": 1, "encoder_time": 20, "net": 3}
 
 
+def test_partial_load_keeps_unflagged_subtrees():
+    """Subtrees outside the three flags (the adversarial classifier) must be
+    loaded from the checkpoint, not silently re-initialised; subtrees absent
+    from the checkpoint stay fresh."""
+    restored = {"encoder": 1, "net": 3, "classifier": 4}
+    current = {"encoder": 10, "encoder_time": 20, "net": 30,
+               "classifier": 40}
+    out = filter_partial_load(restored, current, (True, True, True))
+    assert out == {"encoder": 1, "encoder_time": 20, "net": 3,
+                   "classifier": 4}
+
+
 def test_restore_is_topology_portable(tmp_path):
     """A checkpoint saved under an 8-device mesh restores in a process with
     a single device (production: train multi-chip, serve on one chip)."""

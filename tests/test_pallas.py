@@ -64,6 +64,34 @@ def test_codec_fused_kernels_route_and_match(monkeypatch):
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y0), atol=2e-5)
 
 
+def test_fused_conv_gradients_match_reference():
+    """fused_kernels must be trainable: the custom VJP (lax backward behind
+    the Pallas forward) matches the reference gradients."""
+    from after_tpu.ops.pallas import reference_snake_conv
+
+    rng = np.random.RandomState(1)
+    B, T, C, O, k, d = 2, 64, 16, 16, 3, 1
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    alpha = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+    w = jnp.asarray((rng.randn(k, C, O) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.randn(O).astype(np.float32))
+
+    def loss_fused(x, w, b):
+        return jnp.sum(jnp.square(fused_snake_causal_conv(
+            x, alpha, beta, w, b, d, t_tile=32, interpret=True)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jnp.square(reference_snake_conv(
+            x, alpha, beta, w, b, dilation=d)))
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a_, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_fused_conv_centered_mode():
     """The generalised kernel matches the lax path for centered padding."""
     import jax
