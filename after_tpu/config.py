@@ -204,6 +204,10 @@ class DiffusionTrainConfig:
     ema_decay: float = 0.999
     grad_clip: float = 10.0
     structure_type: str = "audio"       # "audio" | "midi"
+    # mixed precision: forward/backward compute at this dtype ("bfloat16"),
+    # master params / optimizer / EMA / losses / norm statistics stay f32
+    # (flax norm layers compute stats in f32 internally). None = pure f32.
+    compute_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

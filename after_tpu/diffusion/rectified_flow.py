@@ -130,19 +130,31 @@ class RectifiedFlow:
     # ------------------------------------------------------------------
 
     def diffusion_loss(self, net_params, rng, x1, time_cond, cond,
-                       training: bool = True):
-        """Rectified-flow MSE on the velocity field (model.py:702-719)."""
+                       training: bool = True, compute_dtype=None):
+        """Rectified-flow MSE on the velocity field (model.py:702-719).
+
+        With `compute_dtype` (mixed-precision training) the denoiser forward
+        runs at that dtype; noise, interpolant, target and the MSE stay f32
+        (the returned interpolant is f32 for the cycle step)."""
         k_noise, k_t, k_drop = jax.random.split(rng, 3)
         x0 = jax.random.normal(k_noise, x1.shape)
         target = x1 - x0
         t = jax.random.uniform(k_t, (x1.shape[0],))
         tb = t[:, None, None]
         interpolant = (1 - tb) * x0 + tb * x1
+        if compute_dtype is None:
+            net_in = (interpolant, t, cond, time_cond)
+        else:
+            net_params = {**net_params,
+                          "params": cast_floating(net_params["params"],
+                                                  compute_dtype)}
+            net_in = tuple(a.astype(compute_dtype)
+                           for a in (interpolant, t, cond, time_cond))
         out = self.net.apply(
-            net_params, interpolant, t, cond, time_cond,
+            net_params, *net_in,
             deterministic=not training,
             rngs={"dropout": k_drop} if training else None)
-        loss = jnp.mean(jnp.square(out - target))
+        loss = jnp.mean(jnp.square(out.astype(jnp.float32) - target))
         return loss, (interpolant, tb)
 
     # ------------------------------------------------------------------

@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from ..config import AfterConfig
+from ..utils.precision import cast_floating, resolve_dtype
 from .rectified_flow import RectifiedFlow
 
 
@@ -85,6 +86,11 @@ class DiffusionTrainer:
         self.cfg = cfg
         self.tc = cfg.train
         self.rf = rf or RectifiedFlow(cfg)
+        # mixed precision: compute at tc.compute_dtype (e.g. bf16, 2x MXU
+        # rate on v5e), master params/opt/EMA f32.  Params are cast INSIDE
+        # the differentiated loss, so grads accumulate in f32.
+        self.compute_dtype = resolve_dtype(getattr(self.tc, "compute_dtype",
+                                                   None))
         # apply_if_finite: a degenerate batch (e.g. long silence -> constant
         # latents -> zero batch variance in the ECAPA BatchNorms) makes the
         # BN backward blow up (~1/sqrt(eps) per layer, compounding to 1e30+
@@ -136,16 +142,29 @@ class DiffusionTrainer:
                       adversarial_weight, regularisation_weight):
         """Returns (loss, (metrics, batch_stats_updates))."""
         cfg, tc, rf = self.cfg, self.tc, self.rf
+        cd = self.compute_dtype
         x1, x1_cond, x1_time_cond = (batch["x"], batch["x_cond"],
                                      batch["x_time_cond"])
         ks = jax.random.split(rng, 9)
 
-        # rebuild full variable dicts with the (possibly differentiated) params
+        # rebuild full variable dicts with the (possibly differentiated)
+        # params; under mixed precision the params are cast to the compute
+        # dtype here, inside the differentiated function (f32 grads)
         def vars_of(name):
             v = dict(variables[name])
             if name in main_params:
                 v = {**v, "params": main_params[name]}
+            if cd is not None:
+                v = {**v, "params": cast_floating(v["params"], cd)}
             return v
+
+        def f32(*xs):
+            out = tuple(x.astype(jnp.float32) for x in xs)
+            return out if len(out) > 1 else out[0]
+
+        if cd is not None:
+            x1_cond = x1_cond.astype(cd)
+            x1_time_cond = x1_time_cond.astype(cd)
 
         # timbre stream: shuffle chunks -> ECAPA -> noise aug
         if tc.shuffle_zsem:
@@ -156,6 +175,8 @@ class DiffusionTrainer:
         (cond, cond_mean, cond_reg), enc_updates = rf.encoder.apply(
             vars_of("encoder"), enc_in, training=True, rng=ks[1],
             mutable=["batch_stats"])
+        if cd is not None:  # conditioning vectors + losses stay f32
+            cond, cond_reg = f32(cond, cond_reg)
         if not train_encoder:
             cond = jax.lax.stop_gradient(cond)
             cond_reg = jax.lax.stop_gradient(cond_reg)
@@ -167,6 +188,8 @@ class DiffusionTrainer:
             (time_cond, _, time_cond_reg), et_updates = rf.encoder_time.apply(
                 vars_of("encoder_time"), x1_time_cond, training=True,
                 rng=ks[3], rngs={"dropout": ks[3]}, mutable=["batch_stats"])
+            if cd is not None:
+                time_cond, time_cond_reg = f32(time_cond, time_cond_reg)
             if not train_encoder_time:
                 time_cond = jax.lax.stop_gradient(time_cond)
                 time_cond_reg = jax.lax.stop_gradient(time_cond_reg)
@@ -191,16 +214,24 @@ class DiffusionTrainer:
 
         # adversarial classifier fooling term (model.py:372-383)
         if rf.classifier is not None and not phase1:
+            cls_vars = variables["classifier"]
+            tc_in = time_cond
+            if cd is not None:
+                cls_vars = {**cls_vars,
+                            "params": cast_floating(cls_vars["params"], cd)}
+                tc_in = time_cond.astype(cd)
             (cond_pred, _, _), _ = rf.classifier.apply(
-                variables["classifier"], time_cond, training=True,
+                cls_vars, tc_in, training=True,
                 rngs={"dropout": ks[8]}, mutable=["batch_stats"])
             classifier_loss = self._adversarial_loss(
-                cond_pred, jax.lax.stop_gradient(cond))
+                cond_pred.astype(jnp.float32),
+                jax.lax.stop_gradient(cond))
         else:
             classifier_loss = jnp.asarray(0.0)
 
         diffusion_loss, (interpolant, t) = rf.diffusion_loss(
-            vars_of("net"), ks[6], x1, time_cond_drop, cond_drop)
+            vars_of("net"), ks[6], x1, time_cond_drop, cond_drop,
+            compute_dtype=cd)
 
         if use_cycle:
             cond_cycle, tcond_cycle = self._cycle_step(
@@ -256,18 +287,29 @@ class DiffusionTrainer:
             tcond_t = jax.lax.stop_gradient(
                 jnp.where(sel[:, None, None], time_cond[perm], time_cond))
 
-        net_vars = {"params": main_params["net"]}
-        v = rf.net.apply(net_vars, interpolant, t[:, 0, 0], cond_t, tcond_t)
-        x_transfer = interpolant + (1 - t) * v
+        cd = self.compute_dtype
+
+        def p(name):
+            pr = main_params[name]
+            return pr if cd is None else cast_floating(pr, cd)
+
+        def c(x):
+            return x if cd is None else x.astype(cd)
+
+        net_vars = {"params": p("net")}
+        v = rf.net.apply(net_vars, c(interpolant), c(t[:, 0, 0]), c(cond_t),
+                         c(tcond_t))
+        x_transfer = interpolant + (1 - t) * v.astype(jnp.float32)
 
         (cond_rec, _, _), _ = rf.encoder.apply(
-            {**variables["encoder"], "params": main_params["encoder"]},
-            x_transfer, training=True, rng=k_enc, mutable=["batch_stats"])
+            {**variables["encoder"], "params": p("encoder")},
+            c(x_transfer), training=True, rng=k_enc, mutable=["batch_stats"])
         (tcond_rec, _, _), _ = rf.encoder_time.apply(
-            {**variables["encoder_time"],
-             "params": main_params["encoder_time"]},
-            x_transfer, training=True, rngs={"dropout": k_enc},
+            {**variables["encoder_time"], "params": p("encoder_time")},
+            c(x_transfer), training=True, rngs={"dropout": k_enc},
             mutable=["batch_stats"])
+        cond_rec = cond_rec.astype(jnp.float32)
+        tcond_rec = tcond_rec.astype(jnp.float32)
 
         lt = tc.cycle_loss_type
         if lt == "cosine":

@@ -46,6 +46,38 @@ def test_phase1_training_steps():
 
 
 @pytest.mark.slow
+def test_mixed_precision_training_steps():
+    """train.compute_dtype=bfloat16: forward/backward at bf16, master
+    params / optimizer / EMA / batch_stats stay f32, losses finite and
+    close to the f32 run's."""
+    base = with_overrides(micro_config(), {
+        "train.timbre_warmup": 0,
+        "train.cycle_consistency": True,
+        "train.cycle_start_step": 0,
+        "train.cycle_weights": (0.1, 0.1),
+        "train.update_classifier_every": 1,  # diffusion step every step
+    })
+    losses = {}
+    for name, dtype in (("f32", None), ("bf16", "bfloat16")):
+        cfg = with_overrides(base, {"train.compute_dtype": dtype})
+        tr = DiffusionTrainer(cfg)
+        state = tr.init(jax.random.PRNGKey(0), 2)
+        log = []
+        state = tr.fit(state, synthetic_batches(3), max_steps=3,
+                       callback=lambda s, m: log.append(m))
+        losses[name] = [float(m["diffusion_loss"]) for m in log]
+        # master state must remain f32 regardless of compute dtype
+        for leaf in jax.tree_util.tree_leaves(
+                (state.variables, state.opt_state, state.ema_params)):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+    assert all(np.isfinite(v) for v in losses["bf16"])
+    np.testing.assert_allclose(losses["bf16"], losses["f32"],
+                               rtol=0.1, atol=0.05)
+
+
+@pytest.mark.slow
 def test_phase2_with_classifier_and_cycle():
     cfg = micro_config()
     cfg = with_overrides(cfg, {
