@@ -28,10 +28,13 @@ class Note:
 class MidiFile:
 
     def __init__(self, path: Optional[str] = None,
-                 notes: Optional[List[Note]] = None):
+                 notes: Optional[List[Note]] = None,
+                 data: Optional[bytes] = None):
         self.notes: List[Note] = notes or []
         if path is not None:
             self._parse(open(path, "rb").read())
+        elif data is not None:
+            self._parse(data)
 
     # -- parsing -----------------------------------------------------------
 

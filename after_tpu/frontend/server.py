@@ -146,11 +146,48 @@ class AfterFrontend:
                              jax.random.PRNGKey(seed))
         return _wav_bytes(np.asarray(out)[0, :, 0], self.cfg.sr)
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _generate_midi(self, variables, roll, nb_steps, zsem, gt, gs, rng):
+        x0 = jax.random.normal(
+            rng, (roll.shape[0], roll.shape[1], self.cfg.denoiser.n_channels))
+        z_out = self.pipe.diffuse(variables, x0, zsem, roll, nb_steps,
+                                  guidance_timbre=gt, guidance_structure=gs)
+        return self.pipe.decode(variables, z_out)
+
+    def transfer_midi(self, mid: bytes, nb_steps: Optional[int] = None,
+                      guidance_timbre: float = 1.0,
+                      guidance_structure: float = 1.0,
+                      seed: int = 0) -> bytes:
+        """MIDI file -> audio (the afterv2midi.js device surface): the
+        128-bin piano roll sampled at the latent rate is the structure
+        conditioning directly (midi-config models, zs_channels=128)."""
+        if self.cfg.zs_channels != 128:
+            raise ValueError("not a MIDI model (zs_channels != 128); "
+                             "use /api/transfer with audio instead")
+        from ..dataset.midi import MidiFile
+
+        mf = MidiFile(data=mid)
+        latent_rate = self.cfg.sr / self.cfg.autoencoder.ratio
+        dur = min(max(mf.duration(), 1.0 / latent_rate),
+                  self.max_samples / self.cfg.sr)
+        T = max(8, int(dur * latent_rate))
+        times = np.arange(T) / latent_rate
+        roll = (mf.get_piano_roll(times) / 127.0).T[None]  # (1, T, 128)
+        out = self._generate_midi(self.variables,
+                                  jnp.asarray(roll, jnp.float32),
+                                  int(nb_steps or self.nb_steps),
+                                  jnp.asarray(self.zsem),
+                                  jnp.float32(guidance_timbre),
+                                  jnp.float32(guidance_structure),
+                                  jax.random.PRNGKey(seed))
+        return _wav_bytes(np.asarray(out)[0, :, 0], self.cfg.sr)
+
     def info(self) -> dict:
         return {"sr": self.cfg.sr, "zt_channels": self.cfg.zt_channels,
                 "nb_steps": self.nb_steps,
                 "ratio": self.cfg.autoencoder.ratio,
                 "max_seconds": self.max_samples / self.cfg.sr,
+                "is_midi": self.cfg.zs_channels == 128,
                 "has_projector": self.projector_params is not None}
 
 
@@ -197,12 +234,15 @@ def make_handler(app: AfterFrontend):
                     with app.lock:
                         xy = app.set_timbre_audio(self._body())
                     self._json({"xy": xy})
-                elif self.path.startswith("/api/transfer"):
+                elif self.path.startswith(("/api/transfer", "/api/midi")):
                     from urllib.parse import parse_qs, urlparse
                     q = {k: v[0] for k, v in
                          parse_qs(urlparse(self.path).query).items()}
+                    fn = (app.transfer_midi
+                          if self.path.startswith("/api/midi")
+                          else app.transfer)
                     with app.lock:
-                        wav = app.transfer(
+                        wav = fn(
                             self._body(),
                             nb_steps=int(q["steps"]) if "steps" in q else None,
                             guidance_timbre=float(q.get("gt", 1.0)),

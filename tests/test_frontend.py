@@ -106,3 +106,110 @@ def test_error_is_json_not_crash(server):
         assert e.code == 400
         assert "error" in json.loads(e.read())
     assert raised
+
+
+def test_midi_endpoint_rejected_on_a2a_model(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/api/midi", b"MThd")
+    assert ei.value.code == 400
+    assert "not a MIDI model" in json.loads(ei.value.read())["error"]
+
+
+def _micro_midi_config():
+    from after_tpu.config import get_config, with_overrides
+    cfg = get_config("midi")
+    cfg = with_overrides(cfg, {
+        "denoiser.embed_dim": 64, "denoiser.n_layers": 2,
+        "denoiser.noise_embed_dims": 16, "denoiser.mlp_multiplier": 2,
+        "encoder.channels": (16, 16, 16, 32),
+        "train.n_signal": 32,
+        "autoencoder.pqmf_bands": 4, "autoencoder.z_channels": 8,
+        "autoencoder.base_channels": 8, "autoencoder.multipliers": (1, 2, 2),
+        "autoencoder.factors": (2, 2), "autoencoder.dilations": (1, 3),
+        "autoencoder.num_blocks_per_stage": 1,
+    })
+    return cfg.resolved(in_size=8, n_signal=32)
+
+
+def test_midi_transfer_endpoint():
+    """MIDI model: a .mid upload renders audio through /api/midi (the
+    afterv2midi.js device surface)."""
+    from http.server import ThreadingHTTPServer
+
+    from after_tpu.dataset.midi import MidiFile, Note
+    from after_tpu.diffusion import TransferPipeline
+    from after_tpu.frontend.server import make_handler
+
+    cfg = _micro_midi_config()
+    pipe = TransferPipeline(cfg)
+    variables = jax.jit(pipe.init)(jax.random.PRNGKey(0))
+    app = AfterFrontend(cfg, variables, nb_steps=2, max_seconds=2.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        info = json.loads(urllib.request.urlopen(base + "/api/info").read())
+        assert info["is_midi"]
+
+        mf = MidiFile(notes=[Note(pitch=60, velocity=100, start=0.0,
+                                  end=0.5),
+                             Note(pitch=64, velocity=90, start=0.25,
+                                  end=0.75)])
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".mid") as f:
+            mf.save(f.name)
+            mid_bytes = open(f.name, "rb").read()
+        r = _post(base + "/api/midi?steps=2", mid_bytes)
+        assert r.headers["Content-Type"] == "audio/wav"
+        sr, out = scipy.io.wavfile.read(io.BytesIO(r.read()))
+        assert sr == cfg.sr and len(out) > 0 and np.isfinite(out).all()
+    finally:
+        httpd.shutdown()
+
+
+def test_load_frontend_cli_path(tmp_path):
+    """cli/serve.load_frontend: real checkpoints + store -> trained
+    projector, working transfer (covers the store-layout transpose)."""
+    import jax.numpy as jnp
+
+    from after_tpu.cli.serve import build_argparser, load_frontend
+    from after_tpu.config import to_json
+    from after_tpu.dataset import AudioExample, RecordWriter
+    from after_tpu.diffusion import TransferPipeline
+    from after_tpu.models import AudioCodec
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = micro_config()
+    pipe = TransferPipeline(cfg)
+    variables = jax.jit(pipe.init)(jax.random.PRNGKey(0))
+
+    run_dir, codec_dir, db = (str(tmp_path / d)
+                              for d in ("run", "codec", "db"))
+    save_checkpoint(run_dir, 1,
+                    {"variables": variables["diffusion"],
+                     "ema_params": variables["diffusion"]["net"]["params"],
+                     "step": 1}, config_json=to_json(cfg))
+    save_checkpoint(codec_dir, 1, {"codec_vars": variables["codec"],
+                                   "step": 1})
+    rng = np.random.RandomState(0)
+    with RecordWriter(db) as w:
+        for i in range(8):
+            ae = AudioExample()
+            # reference layout: (C, T)
+            ae.put_array("z", rng.randn(cfg.autoencoder.z_channels,
+                                        64).astype(np.float32))
+            w.put(f"{i:08d}", ae.serialize())
+
+    args = build_argparser().parse_args(
+        ["--model_path", run_dir, "--emb_model_path", codec_dir,
+         "--store", db, "--map_samples", "8", "--map_steps", "20",
+         "--nb_steps", "2", "--max_seconds", "0.1"])
+    app = load_frontend(args)
+    assert app.projector_params is not None
+    assert app.info()["has_projector"]
+    app.set_xy(0.1, 0.2)
+    wav = app.transfer(_wav(cfg), nb_steps=2)
+    sr, out = scipy.io.wavfile.read(io.BytesIO(wav))
+    assert sr == cfg.sr and np.isfinite(out).all()
