@@ -7,9 +7,20 @@ base-config model sizes (DenoiserV2 512x6, ECAPA [512,512,512,1024], 64-ch
 codec at 2048:1) — the reference's offline demo workload
 (/root/reference/notebooks/audio_to_audio_demo.ipynb, 20 steps).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is the real-time factor (audio seconds per wall second) and vs_baseline is
-measured against the 50x north-star target (BASELINE.md).
+MEASUREMENT METHODOLOGY (hard-won, see CLAUDE.md):
+`jax.block_until_ready` through the sandbox's axon relay acknowledges
+BEFORE device execution completes, and the relay deduplicates identical
+pure execute requests — a burst loop of repeated identical calls measures
+pure dispatch rate (it "beat" the chip's own roofline by 2x: 377 TFLOP/s
+on a 197-peak v5e, and 100 diffusion steps timed the same as 20).  The
+honest numbers here come from:
+- device-side time: dependency-CHAINED calls (each transfer consumes the
+  previous output) timed by the slope between chain lengths, with a host
+  readback (np.asarray) at the end forcing true completion;
+- end-to-end time: a single call + full host readback.
+
+Prints one JSON line; `value` is the device-side real-time factor and
+vs_baseline measures it against the 50x north-star target (BASELINE.md).
 """
 
 import json
@@ -39,10 +50,9 @@ def main():
     SR = 44100
     N_SAMPLES = 524288
     NB_STEPS = 20
-    # bf16 is available (AFTER_BENCH_DTYPE=bfloat16; quality cos_sim 0.9997,
-    # tests/test_precision.py) but measured ~8% slower at batch 1 on one
-    # chip — this workload is occupancy-bound, not MXU-flops-bound — so the
-    # default stays f32.
+    # bf16 measured ~6% slower at batch 1 with honest chained timing (the
+    # workload is latency-bound, not weight-bandwidth-bound), so f32 stays
+    # the default.
     dtype = os.environ.get("AFTER_BENCH_DTYPE", "float32")
 
     cfg = get_config("base")
@@ -54,48 +64,76 @@ def main():
         cfg, compute_dtype=None if dtype in ("f32", "float32") else dtype)
     log("bench: initializing params (jitted)...")
     t0 = time.perf_counter()
-    # jit the whole init: eager init would issue one XLA compile per op
     variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)
     variables = pipe.prepare_variables(variables)
     jax.block_until_ready(variables)
     log(f"bench: init {time.perf_counter() - t0:.1f}s ({dtype})")
 
     rng = np.random.RandomState(0)
-    a_struct = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
-    a_timbre = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
+    a = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(1, N_SAMPLES, 1).astype(np.float32))
+    keys = [jax.random.PRNGKey(i) for i in range(512)]
+    ki = 0
 
-    # warmup / compile
     log("bench: compiling transfer graph...")
     t0 = time.perf_counter()
-    out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)
-    jax.block_until_ready(out)
+    out = pipe.transfer(variables, a, b, NB_STEPS, rng=keys[ki])
+    ki += 1
+    _ = np.asarray(out)
     log(f"bench: compile+first run {time.perf_counter() - t0:.1f}s")
+    try:
+        ca = type(pipe).transfer.lower(
+            pipe, variables, a, b, NB_STEPS,
+            rng=keys[0]).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
 
-    # several timing blocks, best block wins: the sandbox relay stalls
-    # intermittently (CLAUDE.md documents 2x per-session drift), and a
-    # single long block bakes any stall into the mean
-    blocks, iters = 5, 5
-    for _ in range(3):  # extra warmup beyond the compile run
-        out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)
-    jax.block_until_ready(out)
-    times = []
-    for b in range(blocks):
+    # device-side: chained dependency slope (see module docstring)
+    chain_times = {}
+    for chain in (2, 12):
+        ts = []
+        for _ in range(3):
+            y = a
+            t0 = time.perf_counter()
+            for _ in range(chain):
+                y = pipe.transfer(variables, y, b, NB_STEPS, rng=keys[ki])
+                ki += 1
+            _ = np.asarray(y)
+            ts.append(time.perf_counter() - t0)
+        chain_times[chain] = min(ts)
+        log(f"bench: chain={chain} total {min(ts) * 1e3:.1f} ms")
+    dt_device = (chain_times[12] - chain_times[2]) / 10
+
+    # end-to-end: single call + full readback (includes the relay round
+    # trip and the 2 MB device->host audio transfer)
+    e2e = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = pipe.transfer(variables, a_struct, a_timbre, NB_STEPS)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters)
-    log(f"bench: per-block ms {[round(t * 1e3, 2) for t in times]}")
-    dt = min(times)
+        out = pipe.transfer(variables, a, b, NB_STEPS, rng=keys[ki])
+        ki += 1
+        _ = np.asarray(out)
+        e2e.append(time.perf_counter() - t0)
+    dt_e2e = sorted(e2e)[len(e2e) // 2]
+    log(f"bench: e2e per-call ms {[round(t * 1e3, 1) for t in sorted(e2e)]}")
 
     audio_seconds = N_SAMPLES / SR
-    rtf = audio_seconds / dt
-    print(json.dumps({
+    rtf = audio_seconds / dt_device
+    rec = {
         "metric": "a2a_transfer_realtime_factor",
         "value": round(rtf, 2),
-        "unit": "x_realtime(44.1kHz, 20 diffusion steps, batch 1)",
+        "unit": "x_realtime(44.1kHz, 20 diffusion steps, batch 1, "
+                "device-side)",
         "vs_baseline": round(rtf / 50.0, 3),
-    }))
+        "device_ms_per_call": round(dt_device * 1e3, 2),
+        "end_to_end_ms_per_call": round(dt_e2e * 1e3, 2),
+        "end_to_end_rtf": round(audio_seconds / dt_e2e, 1),
+    }
+    if flops:
+        rec["tflops_per_sec"] = round(flops / dt_device / 1e12, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

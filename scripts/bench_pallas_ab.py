@@ -68,15 +68,24 @@ def main():
     mse = float(np.mean((ya - yb) ** 2))
     log(f"A/B decode MSE: {mse:.3e}")
 
+    # honest timing (CLAUDE.md): the relay acks block_until_ready early and
+    # dedupes identical pure calls — CHAIN the calls (decode output folded
+    # back into the next input) and read back a scalar per round.
+    zs = [jnp.asarray(np.random.RandomState(s)
+                      .randn(B, T_lat, cfg.z_channels).astype(np.float32))
+          for s in range(3)]
     rounds, iters = 6, 8
     t_base, t_fused = [], []
     for r in range(rounds):
         for name, fn, acc in (("base", dec, t_base),
                               ("fused", dec_f, t_fused)):
+            zi = zs[r % 3]
             t0 = time.perf_counter()
             for _ in range(iters):
-                y = fn(variables, z)
-            jax.block_until_ready(y)
+                y = fn(variables, zi)
+                # fold the output back in: forces serial device execution
+                zi = zi + 1e-12 * y[:, :T_lat, :1]
+            _ = float(jax.device_get(y[0, -1, 0]))
             acc.append((time.perf_counter() - t0) / iters)
         log(f"round {r}: base {t_base[-1]*1e3:.2f} ms, "
             f"fused {t_fused[-1]*1e3:.2f} ms")

@@ -29,17 +29,28 @@ audio = jnp.zeros((1, streamer.audio_chunk, 1))
 print("compile...", file=sys.stderr, flush=True)
 out, state = streamer.forward(variables, state, audio, audio, NB_STEPS)
 jax.block_until_ready(out)
-ts = []
+# the axon relay acks block_until_ready before execution completes
+# (CLAUDE.md) — each iteration must READ BACK a value that depends on the
+# full step.  Calls already chain through `state`, so device work
+# serializes; the readback makes the wall clock honest.
+ts, ts_full = [], []
 for i in range(20):
     t0 = time.perf_counter()
     out, state = streamer.forward(variables, state, audio, audio, NB_STEPS)
-    jax.block_until_ready(out)
+    _ = float(jax.device_get(out[0, -1, 0]))   # scalar readback
     ts.append(time.perf_counter() - t0)
+for i in range(10):
+    t0 = time.perf_counter()
+    out, state = streamer.forward(variables, state, audio, audio, NB_STEPS)
+    _ = np.asarray(out)                        # full audio buffer readback
+    ts_full.append(time.perf_counter() - t0)
 budget_ms = streamer.audio_chunk / cfg.sr * 1000
 lat_ms = float(np.median(ts) * 1000)
+lat_full_ms = float(np.median(ts_full) * 1000)
 print(json.dumps({
     "metric": "streaming_buffer_latency",
     "value": round(lat_ms, 2), "unit": "ms (budget %.0f ms, %d diffusion steps)"
         % (budget_ms, NB_STEPS),
-    "realtime_ok": lat_ms < budget_ms,
+    "with_full_audio_readback_ms": round(lat_full_ms, 2),
+    "realtime_ok": lat_full_ms < budget_ms,
 }))

@@ -65,7 +65,12 @@ for name in which:
     log(f"[{name}] compile+first {time.perf_counter()-t0:.0f}s")
     runs[name] = (trainer, st, flops)
 
-# interleaved timing: alternate dtypes block by block, best block wins
+# interleaved timing: alternate dtypes block by block, best block wins.
+# Steps CHAIN through the train state (step k+1 consumes step k's output),
+# and each block ends with a HOST READBACK of a metric scalar — the axon
+# relay acks block_until_ready before execution completes (CLAUDE.md), so
+# only a readback of a value that depends on the whole chain gives honest
+# wall time.
 N, BLOCKS = 10, 4
 times = {name: [] for name in runs}
 for b in range(BLOCKS):
@@ -74,7 +79,7 @@ for b in range(BLOCKS):
         for i in range(N):
             st, m = trainer.train_step(st, batch, jax.random.PRNGKey(i),
                                        False, True, True, False, 0.05, 1.0)
-        jax.block_until_ready(m)
+        assert np.isfinite(float(jax.device_get(m["loss"])))
         times[name].append((time.perf_counter() - t0) / N)
         runs[name] = (trainer, st, runs[name][2])
 
