@@ -135,7 +135,9 @@ class RectifiedFlow:
 
         With `compute_dtype` (mixed-precision training) the denoiser forward
         runs at that dtype; noise, interpolant, target and the MSE stay f32
-        (the returned interpolant is f32 for the cycle step)."""
+        (the returned interpolant is f32 for the cycle step).  The caller
+        is expected to pass `net_params` already cast to the compute dtype
+        (the trainer's vars_of does) — only the inputs are cast here."""
         k_noise, k_t, k_drop = jax.random.split(rng, 3)
         x0 = jax.random.normal(k_noise, x1.shape)
         target = x1 - x0
@@ -145,9 +147,6 @@ class RectifiedFlow:
         if compute_dtype is None:
             net_in = (interpolant, t, cond, time_cond)
         else:
-            net_params = {**net_params,
-                          "params": cast_floating(net_params["params"],
-                                                  compute_dtype)}
             net_in = tuple(a.astype(compute_dtype)
                            for a in (interpolant, t, cond, time_cond))
         out = self.net.apply(

@@ -93,37 +93,45 @@ def restore_checkpoint(model_dir: str, step: Optional[int] = None,
             return (jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
                     if hasattr(x, "shape") or np.isscalar(x) else x)
 
-        meta_abstract = jax.tree_util.tree_map(
-            lambda m: from_meta(m) if hasattr(m, "shape") else m, tree)
+        def abstract_of(subtree):
+            return jax.tree_util.tree_map(
+                lambda m: from_meta(m) if hasattr(m, "shape") else m, subtree)
+
         if target is not None and hasattr(tree, "keys"):
             # Per-top-level-key LENIENT target: a target subtree restores
             # the recorded structure (optax namedtuples survive) only when
-            # its leaf shapes match the checkpoint; on any mismatch — or for
+            # its leaves match the checkpoint; on any mismatch — or for
             # checkpoint keys the target doesn't carry — fall back to the
             # checkpoint's own metadata structure so partial restarts
-            # (changed encoder configs, disabled classifiers) never crash
+            # (changed encoder configs, disabled classifiers) don't crash
             # here; filter_partial_load decides what to keep afterward.
             abstract = {}
             for k in tree.keys():
-                abstract[k] = jax.tree_util.tree_map(
-                    lambda m: from_meta(m) if hasattr(m, "shape") else m,
-                    tree[k])
+                abstract[k] = abstract_of(tree[k])
                 if k in target:
                     cand = jax.tree_util.tree_map(from_value, target[k])
-                    cand_shapes = sorted(
-                        str(getattr(l, "shape", l))
-                        for l in jax.tree_util.tree_leaves(cand))
-                    meta_shapes = sorted(
-                        str(getattr(l, "shape", l))
-                        for l in jax.tree_util.tree_leaves(abstract[k]))
-                    if cand_shapes == meta_shapes:
+                    # (shape, dtype) multisets: the tree SHAPES differ by
+                    # design (namedtuple target vs dict-ified metadata), so
+                    # leaf-path comparison is not possible here
+                    def sig(t):
+                        return sorted(
+                            (str(getattr(l, "shape", l)),
+                             str(getattr(l, "dtype", "")))
+                            for l in jax.tree_util.tree_leaves(t))
+                    if sig(cand) == sig(abstract[k]):
                         abstract[k] = cand
-            return ckptr.restore(path, abstract)
+            try:
+                return ckptr.restore(path, abstract)
+            except Exception:
+                # e.g. renamed modules with identical leaf shapes fooled
+                # the signature check: retry with the checkpoint's own
+                # structure, which always matches what was saved
+                return ckptr.restore(path, abstract_of(tree))
         if target is not None:
             return ckptr.restore(
                 path, jax.tree_util.tree_map(from_value, target))
         try:
-            return ckptr.restore(path, meta_abstract)
+            return ckptr.restore(path, abstract_of(tree))
         except Exception:
             # older orbax layouts: fall back to the recorded shardings
             return ckptr.restore(path)
@@ -135,13 +143,27 @@ def filter_partial_load(restored: Dict, current: Dict,
     (reference load_encoders filter, model.py:226-238): positions are
     (encoder, encoder_time, net).
 
-    Everything present in the checkpoint is loaded (incl. subtrees outside
-    the three flags, e.g. the adversarial classifier); a False flag reverts
-    that subtree to the current (fresh) params; subtrees missing from the
-    checkpoint stay fresh."""
-    out = dict(restored)
+    Every subtree the CURRENT model has is loaded from the checkpoint when
+    compatible (incl. subtrees outside the three flags, e.g. the
+    adversarial classifier); a False flag reverts that subtree to the
+    current (fresh) params.  Checkpoint-only subtrees are dropped (a
+    midi-config restart must not inherit an audio run's encoder_time), and
+    a subtree whose leaf shapes no longer match the current config stays
+    fresh instead of crashing the first train step."""
+    def compatible(a, b):
+        la = [tuple(np.shape(x)) for x in jax.tree_util.tree_leaves(a)]
+        lb = [tuple(np.shape(x)) for x in jax.tree_util.tree_leaves(b)]
+        return sorted(la) == sorted(lb)
+
+    out = {}
     for k, v in current.items():
-        out.setdefault(k, v)
+        if k in restored and compatible(restored[k], v):
+            out[k] = restored[k]
+        else:
+            if k in restored:
+                print(f"[restore] checkpoint subtree '{k}' doesn't match "
+                      "the current config; keeping fresh init")
+            out[k] = v
     names = [("encoder", load_encoders[0]),
              ("encoder_time", load_encoders[1]),
              ("net", load_encoders[2])]

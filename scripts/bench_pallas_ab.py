@@ -71,15 +71,17 @@ def main():
     # honest timing (CLAUDE.md): the relay acks block_until_ready early and
     # dedupes identical pure calls — CHAIN the calls (decode output folded
     # back into the next input) and read back a scalar per round.
+    rounds, iters = 6, 8
+    # one distinct input per round: a repeated (z, chain) sequence is a
+    # byte-identical request stream the relay could dedup
     zs = [jnp.asarray(np.random.RandomState(s)
                       .randn(B, T_lat, cfg.z_channels).astype(np.float32))
-          for s in range(3)]
-    rounds, iters = 6, 8
+          for s in range(rounds)]
     t_base, t_fused = [], []
     for r in range(rounds):
         for name, fn, acc in (("base", dec, t_base),
                               ("fused", dec_f, t_fused)):
-            zi = zs[r % 3]
+            zi = zs[r]
             t0 = time.perf_counter()
             for _ in range(iters):
                 y = fn(variables, zi)

@@ -39,7 +39,8 @@ def step_flops(trainer, st, batch, key):
         log(f"cost_analysis unavailable: {e!r}")
         return 0.0
 
-which = os.environ.get("AFTER_BENCH_DTYPES", "f32,bfloat16").split(",")
+which = [("f32" if n in ("f32", "float32") else n) for n in
+         os.environ.get("AFTER_BENCH_DTYPES", "f32,bfloat16").split(",")]
 base_cfg = get_config("base").resolved(in_size=64, n_signal=128)
 B, T, C = base_cfg.train.batch_size, 128, 64
 rng = np.random.RandomState(0)
@@ -98,12 +99,16 @@ for name, ts in times.items():
         if flops else None,
     }
 
-main = out.get("bfloat16", out.get("f32"))
+# headline = f32, the shipped default (bf16 measured slower)
+main_name = "f32" if "f32" in out else next(iter(out))
 rec = {"metric": "diffusion_train_step",
-       "value": main["ms_per_step"],
-       "unit": f"ms/step (batch {B}, seq 128, base config)", **main}
+       "value": out[main_name]["ms_per_step"],
+       "unit": f"ms/step (batch {B}, seq 128, base config, {main_name})",
+       **out[main_name]}
+for name, stats in out.items():
+    if name != main_name:
+        rec[name] = stats
 if "f32" in out and "bfloat16" in out:
     rec["speedup_bf16_vs_f32"] = round(
         out["f32"]["ms_per_step"] / out["bfloat16"]["ms_per_step"], 3)
-    rec["f32"] = out["f32"]
 print(json.dumps(rec))

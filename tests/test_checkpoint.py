@@ -127,6 +127,23 @@ def test_partial_load_keeps_unflagged_subtrees():
                    "classifier": 4}
 
 
+def test_partial_load_drops_stale_and_mismatched_subtrees():
+    """Checkpoint-only subtrees are dropped (a midi restart must not
+    inherit an audio run's encoder_time) and a subtree whose leaf shapes
+    no longer match the current config stays fresh instead of crashing
+    the first train step."""
+    restored = {"net": {"w": np.zeros((4, 4))},
+                "encoder_time": {"w": np.zeros((2,))},      # not in config
+                "classifier": {"w": np.zeros((8, 8))}}      # resized since
+    current = {"net": {"w": np.ones((4, 4))},
+               "classifier": {"w": np.ones((6, 6))}}
+    out = filter_partial_load(restored, current, (True, True, True))
+    assert "encoder_time" not in out
+    np.testing.assert_array_equal(out["net"]["w"], np.zeros((4, 4)))
+    np.testing.assert_array_equal(out["classifier"]["w"],
+                                  np.ones((6, 6)))  # fresh, not 8x8
+
+
 def test_restore_is_topology_portable(tmp_path):
     """A checkpoint saved under an 8-device mesh restores in a process with
     a single device (production: train multi-chip, serve on one chip)."""
