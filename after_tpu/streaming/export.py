@@ -92,6 +92,24 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                 guidance_structure, rng=jax.random.wrap_key_data(rng))),
             (audio_in, zt_in, rng_in)),
     }
+    if cfg.zs_channels == 128:
+        # MIDI models additionally export the note-pair surface the
+        # reference MIDI device drives (export_midi.py:401-417): n_poly
+        # (pitch, velocity) signal pairs per latent frame
+        notes_in = jnp.zeros((batch_size, T, streamer.n_poly, 2),
+                             jnp.float32)
+        methods["diffuse_midi"] = (pack(
+            lambda st, notes, zt, rng: streamer.diffuse_midi(
+                variables, st, notes, zt, nb_steps, guidance_timbre,
+                guidance_structure, rng=jax.random.wrap_key_data(rng))),
+            (notes_in, zt_in, rng_in))
+    if (streamer.enc_time is None
+            and cfg.zs_channels != cfg.autoencoder.z_channels):
+        # midi models: structure comes from the piano roll, not audio —
+        # the audio-structure path would feed codec latents where the
+        # denoiser expects the roll (reference export_midi has no
+        # generate_timbre either)
+        del methods["generate_timbre"]
 
     for name, (fn, xs) in methods.items():
         jitted = (jax.jit(fn, donate_argnums=(0,)) if donate_state

@@ -76,6 +76,9 @@ class Streamer:
         self.ratio = cfg.autoencoder.ratio
         self.audio_chunk = chunk_size * self.ratio
         self.n_signal_timbre = cfg.train.n_signal
+        # polyphony of the MIDI note-pair surface (reference
+        # export_midi.py:31 default n_poly=8)
+        self.n_poly = 8
 
         self.codec = AudioCodec(cfg.autoencoder, streaming=True)
         self.rf = RectifiedFlow(cfg)
@@ -307,11 +310,18 @@ class Streamer:
         register_method channel/ratio declarations (export.py:190-328)."""
         cfg = self.cfg
         r = self.ratio
-        return {
+        # midi models have no audio-structure encoder: `structure` emits raw
+        # codec latents and the audio-structure generate_timbre path is
+        # invalid (reference export_midi has neither)
+        midi = (self.enc_time is None
+                and cfg.zs_channels != cfg.autoencoder.z_channels)
+        specs = {
             "forward": dict(in_channels=2, in_ratio=1, out_channels=1,
                             out_ratio=1),
             "structure": dict(in_channels=1, in_ratio=1,
-                              out_channels=cfg.zs_channels, out_ratio=r),
+                              out_channels=(cfg.autoencoder.z_channels
+                                            if midi else cfg.zs_channels),
+                              out_ratio=r),
             "timbre": dict(in_channels=1, in_ratio=1,
                            out_channels=cfg.zt_channels, out_ratio=r),
             "diffuse": dict(in_channels=cfg.zs_channels + cfg.zt_channels,
@@ -329,4 +339,11 @@ class Streamer:
             "map2latent": dict(in_channels=2, in_ratio=1,
                                out_channels=cfg.zt_channels, out_ratio=1,
                                stateless=True),
+            **({"diffuse_midi": dict(
+                in_channels=2 * self.n_poly + cfg.zt_channels, in_ratio=r,
+                out_channels=cfg.denoiser.n_channels, out_ratio=r)}
+               if cfg.zs_channels == 128 else {}),
         }
+        if midi:
+            del specs["generate_timbre"]
+        return specs

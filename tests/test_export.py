@@ -111,3 +111,41 @@ def test_exported_generate_and_projector(exported):
     xy_live = streamer.latent2map(proj_params, zt)
     np.testing.assert_allclose(np.asarray(xy), np.asarray(xy_live),
                                atol=1e-5)
+
+
+def test_exported_midi_diffuse_matches_live(tmp_path):
+    """MIDI models export the note-pair surface (reference export_midi.py):
+    exported diffuse_midi == live, same state + rng."""
+    import dataclasses
+
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {
+        "autoencoder.causal": True, "autoencoder.use_norm": False,
+        "zs_channels": 128, "denoiser.tcond_dim": 128,
+    })
+    cfg = dataclasses.replace(cfg, encoder_time=None, classifier=None)
+    streamer = Streamer(cfg, chunk_size=4)
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "midi_artifact")
+    export_streamer(streamer, variables, out, nb_steps=2)
+
+    assert os.path.exists(os.path.join(out, "diffuse_midi.stablehlo"))
+    assert "diffuse_midi" in streamer.method_specs()
+
+    notes = np.zeros((1, 4, streamer.n_poly, 2), np.float32)
+    notes[0, :, 0] = [60, 100]
+    notes[0, :, 1] = [67, 90]
+    zt = 0.1 * np.random.RandomState(0).randn(
+        1, cfg.zt_channels).astype(np.float32)
+    rng = jax.random.PRNGKey(3)
+
+    live_state = streamer.init_state(variables, 1)
+    z_live, _ = streamer.diffuse_midi(variables, live_state,
+                                      jnp.asarray(notes), jnp.asarray(zt),
+                                      2, rng=rng)
+    host = ExportedStreamer(out)
+    z_exp = host.call("diffuse_midi", jnp.asarray(notes), jnp.asarray(zt),
+                      jax.random.key_data(rng))
+    np.testing.assert_allclose(np.asarray(z_exp), np.asarray(z_live),
+                               atol=1e-5)
