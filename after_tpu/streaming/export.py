@@ -91,6 +91,13 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                 variables, st, x, zt, nb_steps, guidance_timbre,
                 guidance_structure, rng=jax.random.wrap_key_data(rng))),
             (audio_in, zt_in, rng_in)),
+        # the full fused a2a step — the reference nn~ `forward`
+        # (export.py:486-493): one dispatch per audio callback
+        "forward": (pack(
+            lambda st, a, b, rng: streamer.forward(
+                variables, st, a, b, nb_steps, guidance_timbre,
+                guidance_structure, rng=jax.random.wrap_key_data(rng))),
+            (audio_in, audio_in, rng_in)),
     }
     if cfg.zs_channels == 128:
         # MIDI models additionally export the note-pair surface the
@@ -106,10 +113,10 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
     if (streamer.enc_time is None
             and cfg.zs_channels != cfg.autoencoder.z_channels):
         # midi models: structure comes from the piano roll, not audio —
-        # the audio-structure path would feed codec latents where the
-        # denoiser expects the roll (reference export_midi has no
-        # generate_timbre either)
+        # the audio-structure paths would feed codec latents where the
+        # denoiser expects the roll (reference export_midi has neither)
         del methods["generate_timbre"]
+        del methods["forward"]
 
     for name, (fn, xs) in methods.items():
         jitted = (jax.jit(fn, donate_argnums=(0,)) if donate_state

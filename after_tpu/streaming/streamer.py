@@ -346,4 +346,5 @@ class Streamer:
         }
         if midi:
             del specs["generate_timbre"]
+            del specs["forward"]
         return specs

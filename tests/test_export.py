@@ -113,6 +113,29 @@ def test_exported_generate_and_projector(exported):
                                atol=1e-5)
 
 
+def test_exported_forward_equals_method_chain(exported):
+    """The fused `forward` artifact (the nn~ per-buffer a2a step) equals
+    structure -> timbre -> diffuse -> decode on a fresh host, same rng."""
+    cfg, streamer, variables, out = exported
+    rng0 = np.random.RandomState(3)
+    a = jnp.asarray(0.05 * rng0.randn(1, streamer.audio_chunk, 1)
+                    .astype(np.float32))
+    b = jnp.asarray(0.05 * rng0.randn(1, streamer.audio_chunk, 1)
+                    .astype(np.float32))
+    rng = jax.random.key_data(jax.random.PRNGKey(7))
+
+    host = ExportedStreamer(out)
+    y = host.call("forward", a, b, rng)
+    assert y.shape == (1, streamer.audio_chunk, 1)
+
+    host2 = ExportedStreamer(out)
+    zs = host2.call("structure", a)
+    zt = host2.call("timbre", b)
+    z = host2.call("diffuse", zs, zt, rng)
+    y2 = host2.call("decode", z)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+
+
 def test_exported_midi_diffuse_matches_live(tmp_path):
     """MIDI models export the note-pair surface (reference export_midi.py):
     exported diffuse_midi == live, same state + rng."""
