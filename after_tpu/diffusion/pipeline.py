@@ -116,6 +116,9 @@ class TransferPipeline:
         20-step sample, decode).
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # NB: batching the two encodes into one batch-2 call measured
+        # SLOWER on v5e (17 -> 18.5 ms/transfer: the concat copy costs more
+        # than the MXU gains at T=524288) — keep the two separate encodes.
         z_struct = self._codec_apply(variables, audio_structure,
                                      AudioCodec.encode)
         z_timbre = self._codec_apply(variables, audio_timbre,
