@@ -252,10 +252,14 @@ class Audio2Beats:
 
     def __init__(self, checkpoint_path: Optional[str] = None):
         self.net = BeatThis()
-        spect = jnp.zeros((1, self.CHUNK, N_MELS))
-        self.variables = jax.jit(self.net.init)(jax.random.PRNGKey(0), spect)
         if checkpoint_path:
             self.variables = load_torch_weights(checkpoint_path)
+        else:
+            # only init when no checkpoint: the jitted full-model init is
+            # an expensive throwaway on remote-compile backends otherwise
+            spect = jnp.zeros((1, self.CHUNK, N_MELS))
+            self.variables = jax.jit(self.net.init)(jax.random.PRNGKey(0),
+                                                    spect)
         self._fwd = jax.jit(
             lambda v, s: self.net.apply(v, s))
 
@@ -316,9 +320,13 @@ def load_torch_weights(path: str):
 
 def map_torch_state_dict(sd):
     """Map the reference BeatThis state dict onto this module's params."""
-    sd = {k.replace("_orig_mod.", "").replace("model.", "", 1)
-          if k.startswith("model.") else k.replace("_orig_mod.", ""):
-          v.detach().numpy() if hasattr(v, "detach") else v
+    def strip(k):
+        # torch.compile may wrap the outer module: strip '_orig_mod.' FIRST
+        # so '_orig_mod.model.*' keys also lose the 'model.' prefix
+        k = k.replace("_orig_mod.", "")
+        return k.replace("model.", "", 1) if k.startswith("model.") else k
+
+    sd = {strip(k): v.detach().numpy() if hasattr(v, "detach") else v
           for k, v in sd.items()}
     g = lambda k: np.asarray(sd[k])
 

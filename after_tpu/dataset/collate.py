@@ -45,8 +45,12 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
         # (B, T, C)
         zs = [np.asarray(b["z"], dtype=np.float32) for b in batch]
         B = len(zs)
-        total = zs[0].shape[-1]
-        i0 = rng.randint(0, max(total - n_signal, 1), B)
+        # per-item lengths: CombinedDataset may merge stores prepared with
+        # different --num_signal (crop offsets from item 0's length would
+        # over-run shorter records / never sample longer records' tails)
+        totals = np.array([z.shape[-1] for z in zs])
+        i0 = np.array([rng.randint(0, max(t - n_signal, 1))
+                       for t in totals])
         x = np.stack([z[..., i: i + n_signal] for z, i in zip(zs, i0)])
 
         if timbre_augmentation_keys:
@@ -64,18 +68,25 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
             x_timbre = np.stack(x_timbre)
         else:
             if timbre_limit is None:
-                i1 = rng.randint(0, max(total - n_signal, 1), B)
+                i1 = np.array([rng.randint(0, max(t - n_signal, 1))
+                               for t in totals])
             else:
                 nmax = int(n_signal * timbre_limit)
                 d = rng.randint(-nmax, nmax, B)
-                i1 = np.clip(i0 + d, 0, total - n_signal)
+                i1 = np.clip(i0 + d, 0,
+                             np.maximum(totals - n_signal, 0))
             x_timbre = np.stack([z[..., i: i + n_signal]
                                  for z, i in zip(zs, i1)])
 
         if structure_type == "midi":
-            times = np.linspace(0, total * ae_ratio / sr, total)
             rolls = []
             for bi, b in enumerate(batch):
+                # endpoint=True matches the reference grid exactly
+                # (diffusion/utils.py:92-95) — note it stretches timestamps
+                # by total/(total-1) vs the latent grid; kept for
+                # trained-model compatibility
+                times = np.linspace(0, totals[bi] * ae_ratio / sr,
+                                    totals[bi])
                 midi = b.get("midi", b.get("midi_bytes"))
                 if isinstance(midi, np.ndarray):
                     midi = midi.tobytes()

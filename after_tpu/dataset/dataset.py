@@ -165,12 +165,20 @@ class DataLoader:
         def worker():
             while not stop.is_set():
                 try:
-                    q.put(self._make_batch(rng), timeout=1.0)
-                except queue_mod.Full:
-                    continue
+                    batch = self._make_batch(rng)
                 except Exception as e:  # surface data errors to the consumer
                     q.put(e)
                     return
+                # build ONCE, then retry the put: re-building on queue.Full
+                # would discard finished batches (wasted IO/collate work)
+                # and advance the rng per discard, making the sampled data
+                # stream timing-dependent
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=1.0)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

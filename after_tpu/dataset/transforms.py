@@ -93,8 +93,10 @@ def random_phase_mangle(x: np.ndarray, min_f: float = 20.0,
     rng = rng or np.random.RandomState()
     f = np.exp(rng.uniform(np.log(min_f), np.log(max_f)))
     w0 = 2 * np.pi * f / sr
-    alpha = amp * np.exp(-1j * w0)
-    b = [np.abs(alpha), -2 * np.real(alpha), 1]
+    z0 = amp * np.exp(1j * w0)
+    # second-order allpass with the pole pair at radius amp (reference
+    # pole_to_z_filter: b = [|z0|^2, -2 Re z0, 1], a = b reversed)
+    b = [np.abs(z0) ** 2, -2 * np.real(z0), 1]
     a = b[::-1]
     return scipy.signal.lfilter(b, a, x).astype(np.float32)
 

@@ -32,9 +32,18 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> None:
     """Bring up the JAX distributed runtime (no-op if already initialized or
     single-process).  On TPU pods all arguments resolve from the environment;
-    pass them explicitly for CPU/GPU clusters."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    pass them explicitly for CPU/GPU clusters.
+
+    MUST run before any other JAX call: probing jax.process_count() here
+    would itself initialize the (single-process) backend and make
+    jax.distributed.initialize() raise — the already-initialized check
+    therefore looks at the distributed client state, not the backend."""
+    try:
+        from jax._src.distributed import global_state
+        if global_state.client is not None:
+            return  # distributed runtime already up
+    except Exception:
+        pass  # private API moved: fall through, initialize() will tell us
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()

@@ -37,7 +37,7 @@ from ..config import AfterConfig
 from ..models import AudioCodec, ECAPAEncoder, Encoder1D
 from ..diffusion.rectified_flow import RectifiedFlow
 from ..utils.precision import cast_floating, resolve_dtype
-from .state import zero_cache
+from .state import init_stream_state, zero_cache
 
 
 @dataclasses.dataclass
@@ -106,20 +106,12 @@ class Streamer:
         z_ch = cfg.autoencoder.z_channels
         T = self.chunk_size
 
-        def cache_of(module, vars_key, *args, method=None):
-            # jitted: eager init = one remote compile per op (see CLAUDE.md)
-            def go():
-                v = module.init({"params": jax.random.PRNGKey(0)}, *args,
-                                method=method)
-                return zero_cache(v.get("cache", {}))
-            return jax.jit(go)()
-
-        enc_cache = cache_of(self.codec, "codec",
-                             jnp.zeros((B, A, 1)), method=AudioCodec.encode)
-        dec_cache = cache_of(self.codec, "codec",
-                             jnp.zeros((B, T, z_ch)), method=AudioCodec.decode)
-        et_cache = (cache_of(self.enc_time, "encoder_time",
-                             jnp.zeros((B, T, z_ch)))
+        enc_cache = init_stream_state(self.codec, jnp.zeros((B, A, 1)),
+                                      method=AudioCodec.encode)
+        dec_cache = init_stream_state(self.codec, jnp.zeros((B, T, z_ch)),
+                                      method=AudioCodec.decode)
+        et_cache = (init_stream_state(self.enc_time,
+                                      jnp.zeros((B, T, z_ch)))
                     if self.enc_time is not None else {})
         dn_cache = jax.jit(lambda: zero_cache(self.rf.net_stream.init(
             {"params": jax.random.PRNGKey(0)},
