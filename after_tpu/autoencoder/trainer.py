@@ -50,7 +50,12 @@ class AutoencoderTrainer:
         self.codec = AudioCodec(ae_cfg)
         if self.dcfg.kind == "descript":
             from ..models.descript_discriminator import DescriptDiscriminator
-            self.disc = DescriptDiscriminator()
+            self.disc = DescriptDiscriminator(
+                periods=tuple(self.dcfg.descript_periods),
+                fft_sizes=tuple(self.dcfg.descript_fft_sizes),
+                weight_feature_matching=(
+                    self.dcfg.descript_weight_feature_matching),
+                weight_adversarial=self.dcfg.descript_weight_adversarial)
         else:
             self.disc = EncodecDiscriminator(self.dcfg)
 
@@ -97,7 +102,11 @@ class AutoencoderTrainer:
 
         def loss_fn(params):
             cv = {**codec_vars, "params": params}
-            y, yb, z, regloss, xb = self.codec.apply(cv, x, rng=rng)
+            # rngs={'noise': ...}: without it the NoiseGenerator falls back
+            # to a FIXED key and synthesises the identical noise realisation
+            # every step (the GAN would learn against a frozen noise signal)
+            y, yb, z, regloss, xb = self.codec.apply(
+                cv, x, rng=rng, rngs={"noise": jax.random.fold_in(rng, 1)})
             n = min(x.shape[1], y.shape[1])
             xa, ya = x[:, :n], y[:, :n]
             mrstft = multi_resolution_stft_loss(xa, ya, self.tc, self.cfg.sr)
@@ -129,7 +138,8 @@ class AutoencoderTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def disc_step(self, state_tuple, x, rng):
         codec_vars, disc_vars, disc_opt_state = state_tuple
-        y, *_ = self.codec.apply(codec_vars, x, rng=rng)
+        y, *_ = self.codec.apply(codec_vars, x, rng=rng,
+                                 rngs={"noise": jax.random.fold_in(rng, 1)})
         y = jax.lax.stop_gradient(y)
         n = min(x.shape[1], y.shape[1])
         xa, ya = x[:, :n], y[:, :n]

@@ -152,6 +152,12 @@ class DiscriminatorConfig:
     spec_scale_pow: float = 0.5
     weight_feature_matching: float = 20.0
     weight_adversarial: float = 0.0
+    # kind="descript" knobs (DAC-style defaults; the encodec weights above
+    # are tuned for feature-matching-only training and don't transfer)
+    descript_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    descript_fft_sizes: Tuple[int, ...] = (2048, 1024, 512)
+    descript_weight_feature_matching: float = 15.0
+    descript_weight_adversarial: float = 1.0
 
 
 # ---------------------------------------------------------------------------

@@ -244,6 +244,14 @@ class Denoiser(nn.Module):
         h = nn.gelu(h, approximate=False)
 
         if cfg.pos_emb_type == "learnable":
+            if self.streaming:
+                # each chunk would restart at position 0 against a KV cache
+                # holding earlier absolute positions -> stream != offline
+                # (rotary re-phases cached keys; learnable cannot).  Same
+                # guard as DenoiserV1.
+                raise ValueError(
+                    "pos_emb_type='learnable' is not streamable; use "
+                    "'rotary' for streaming models")
             pos = self.param("pos_embed", nn.initializers.normal(1.0),
                              (cfg.seq_len, cfg.embed_dim))
             h = h + pos[None, :h.shape[1]]

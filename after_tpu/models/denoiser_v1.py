@@ -156,7 +156,11 @@ class SepConvMLP(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         hid = self.mlp_multiplier * self.embed_dim
         h = nn.Dense(hid)(x)
-        h = nn.Conv(hid, (3,), padding="SAME", feature_group_count=hid)(h)
+        # reference MLPSepConv builds the depthwise conv with KERNEL SIZE 1
+        # (transformer.py:289-295) — a per-channel scale+bias.  A wider
+        # kernel would read neighbouring frames, breaking causality and the
+        # stream==offline invariant.
+        h = nn.Conv(hid, (1,), feature_group_count=hid)(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.embed_dim)(h)
         return nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -116,22 +116,6 @@ class Encoder1D(nn.Module):
         elif cfg.use_tanh:
             h = jnp.tanh(h)
 
-        # upscale_out: transpose-conv chain back to frame rate
-        # (encoder.py:200-236; widened channels are folded back by 4)
-        if cfg.upscale_out:
-            total_ratio = 1
-            for r in ratios:
-                total_ratio *= r
-            c = channels[-1]
-            for i in range(max(total_ratio // 2, 0)):
-                h = StreamConvTranspose1d(c, 4, 2, streaming=self.streaming,
-                                          name=f"upscale_up_{i}")(h)
-                h = StreamConv1d(c, cfg.kernel_size, mode=mode,
-                                 streaming=self.streaming,
-                                 name=f"upscale_conv_{i}")(h)
-            h = StreamConv1d(c // 4, cfg.kernel_size, mode=mode,
-                             streaming=self.streaming, name="upscale_out")(h)
-
         # reparametrise (encoder.py:249-271); channel dim is last in our layout
         if cfg.vae_regularisation:
             mean, scale = jnp.split(h, 2, axis=-1)
@@ -157,6 +141,24 @@ class Encoder1D(nn.Module):
             if training and cfg.quantizer_noise_dropout > 0:
                 q_rng = rng if rng is not None else self.make_rng("sample")
             z = fsq.quantize(z, q_rng)
+
+        # upscale_out: transpose-conv chain back to frame rate, applied
+        # AFTER reparametrisation + quantization as the reference does
+        # (encoder.py:286-292: reparametrize -> vector_quantizer ->
+        # upscaler), so the bottleneck sits at the latent rate
+        if cfg.upscale_out:
+            c = z.shape[-1]
+            total_ratio = 1
+            for r in ratios:
+                total_ratio *= r
+            for i in range(max(total_ratio // 2, 0)):
+                z = StreamConvTranspose1d(c, 4, 2, streaming=self.streaming,
+                                          name=f"upscale_up_{i}")(z)
+                z = StreamConv1d(c, cfg.kernel_size, mode=mode,
+                                 streaming=self.streaming,
+                                 name=f"upscale_conv_{i}")(z)
+            z = StreamConv1d(c // 4, cfg.kernel_size, mode=mode,
+                             streaming=self.streaming, name="upscale_out")(z)
         return z, mean, kl
 
     def encode(self, x, training: bool = False):

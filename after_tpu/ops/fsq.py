@@ -39,29 +39,37 @@ class FSQ:
 
     def quantize(self, z: jnp.ndarray,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
-        """(..., dim) -> (..., dim) quantized, straight-through gradients.
+        """(..., dim) -> (..., dim) quantized (normalised to [-1, 1]),
+        straight-through gradients.
 
-        With `rng` and noise_dropout > 0, a random subset of elements keeps
-        the (bounded) continuous value plus uniform noise (fsq.py:165-186).
+        With `rng` and noise_dropout > 0, matches the reference's two-stage
+        per-SAMPLE dropout (fsq.py:160-186): one Bernoulli mask per sample
+        substitutes the raw unquantized z, a second substitutes
+        z + U(-0.5, 0.5)/half_width.
         """
         bounded = self._bound(z)
-        quantized = jnp.round(bounded)
-        quantized = bounded + jax.lax.stop_gradient(quantized - bounded)
-        if rng is not None and self.noise_dropout > 0:
-            k1, k2 = jax.random.split(rng)
-            keep = jax.random.uniform(k1, z.shape) < self.noise_dropout
-            noised = bounded + jax.random.uniform(k2, z.shape,
-                                                  minval=-0.5, maxval=0.5)
-            quantized = jnp.where(keep, noised, quantized)
-        # normalise to [-1, 1] halves as the reference does
         half_width = jnp.asarray(self.levels, z.dtype) // 2
-        return quantized / half_width
+        rounded = jnp.round(bounded)
+        quantized = (bounded
+                     + jax.lax.stop_gradient(rounded - bounded)) / half_width
+        if rng is not None and self.noise_dropout > 0:
+            k1, k2, k3 = jax.random.split(rng, 3)
+            mshape = (z.shape[0],) + (1,) * (z.ndim - 1)
+            qmask = jax.random.uniform(k1, mshape) < self.noise_dropout
+            quantized = jnp.where(qmask, z, quantized)
+            omask = jax.random.uniform(k2, mshape) < self.noise_dropout
+            offset = (jax.random.uniform(k3, z.shape) - 0.5) / half_width
+            quantized = jnp.where(omask, z + offset, quantized)
+        return quantized
 
     def codes_to_indices(self, codes: jnp.ndarray) -> jnp.ndarray:
         """Quantized (normalised) codes -> integer codebook indices."""
         half_width = jnp.asarray(self.levels, codes.dtype) // 2
         zhat = codes * half_width + half_width
-        return jnp.sum(zhat.astype(jnp.int32) * self._basis, axis=-1)
+        # round before the int cast: the f32 round trip can land at
+        # 5.9999995 for exact codes, which truncation would corrupt
+        return jnp.sum(jnp.round(zhat).astype(jnp.int32) * self._basis,
+                       axis=-1)
 
     def indices_to_codes(self, indices: jnp.ndarray) -> jnp.ndarray:
         half_width = jnp.asarray(self.levels, jnp.float32) // 2

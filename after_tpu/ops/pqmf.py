@@ -182,6 +182,11 @@ class PQMFAnalysis(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.streaming and not self.causal:
+            raise ValueError(
+                "streaming PQMF analysis requires causal=True: the centered "
+                "path would zero-pad every chunk independently "
+                "(stream != offline with no error otherwise)")
         if self.n_band == 1:
             return x
         pq = get_pqmf(self.attenuation, self.n_band)
@@ -226,6 +231,10 @@ class PQMFSynthesis(nn.Module):
 
     @nn.compact
     def __call__(self, xb: jnp.ndarray) -> jnp.ndarray:
+        if self.streaming and not self.causal:
+            raise ValueError(
+                "streaming PQMF synthesis requires causal=True (see "
+                "PQMFAnalysis)")
         if self.n_band == 1:
             return xb
         pq = get_pqmf(self.attenuation, self.n_band)
