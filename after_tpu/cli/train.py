@@ -81,7 +81,8 @@ def main(argv=None) -> int:
     from ..dataset import CombinedDataset, DataLoader, make_collate_fn
     from ..diffusion.trainer import DiffusionTrainer
     from ..utils.checkpoint import (checkpoint_keys, filter_partial_load,
-                                    restore_checkpoint, save_checkpoint)
+                                    restore_checkpoint, save_checkpoint,
+                                    shapes_compatible)
     from ..utils.logging import MetricsLogger
 
     args = build_argparser().parse_args(argv)
@@ -172,9 +173,21 @@ def main(argv=None) -> int:
                       "current config; optimizer restarts fresh")
             return got if same else fresh
 
+        # the EMA update tree_maps ema vs net params every step, so a
+        # restored EMA tree from a no-longer-matching net config would
+        # crash at step 1; apply the same shape-compat check as
+        # filter_partial_load and fall back to the (possibly fresh) net
+        ema_params = restored.get("ema_params")
+        if (ema_params is None
+                or not shapes_compatible(ema_params,
+                                         variables["net"]["params"])):
+            if ema_params is not None:
+                print("[train] ema_params in checkpoint don't match the "
+                      "current net; EMA restarts from the net params")
+            ema_params = variables["net"]["params"]
         state = dataclasses.replace(
             state, variables=variables,
-            ema_params=restored["ema_params"],
+            ema_params=ema_params,
             opt_state=opt_if_compatible("opt_state", state.opt_state),
             cls_opt_state=opt_if_compatible("cls_opt_state",
                                             state.cls_opt_state),

@@ -31,20 +31,15 @@ def build_argparser():
 
 
 def make_wave_collate(num_signal: int, augment: bool, seed: int = 0):
-    import threading
-
+    from ..dataset.collate import thread_rng_factory
     from ..dataset.transforms import random_gain, random_phase_mangle
 
-    # per-thread rng: prefetch threads of multiple iterators may call this
-    # concurrently (see dataset/collate.py)
-    local = threading.local()
+    # per-thread rng streams numbered by arrival order (thread idents are
+    # reused across thread lifetimes — see dataset/collate.py)
+    get_rng = thread_rng_factory(seed)
 
     def collate(items):
-        rng = getattr(local, "rng", None)
-        if rng is None:
-            rng = np.random.RandomState(
-                (seed + threading.get_ident()) % (2 ** 31 - 1))
-            local.rng = rng
+        rng = get_rng()
         out = []
         for it in items:
             w = np.asarray(it["waveform"], dtype=np.float32).reshape(-1)

@@ -14,16 +14,12 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
-def make_collate_fn(n_signal: int, structure_type: str = "audio",
-                    ae_ratio: int = 2048, sr: int = 44100,
-                    timbre_limit: Optional[float] = None,
-                    timbre_augmentation_keys: Sequence[str] = (),
-                    seed: int = 0):
-    # one collate is typically shared by several DataLoaders whose prefetch
-    # threads call it concurrently; RandomState is not thread-safe, so each
-    # thread gets its own stream.  Streams are numbered by arrival order
-    # (not thread ident — idents are reused across thread lifetimes, which
-    # would replay identical streams and is irreproducible across runs).
+def thread_rng_factory(seed: int = 0):
+    """Per-thread RandomState streams for collate fns shared by several
+    DataLoaders whose prefetch threads run concurrently (RandomState is not
+    thread-safe).  Streams are numbered by arrival order — NOT by thread
+    ident, which is reused across thread lifetimes and would replay
+    identical augmentation streams irreproducibly across runs."""
     local = threading.local()
     counter_lock = threading.Lock()
     counter = [0]
@@ -38,6 +34,16 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
                 np.random.SeedSequence([seed, stream_id]).generate_state(1))
             local.rng = rng
         return rng
+
+    return get_rng
+
+
+def make_collate_fn(n_signal: int, structure_type: str = "audio",
+                    ae_ratio: int = 2048, sr: int = 44100,
+                    timbre_limit: Optional[float] = None,
+                    timbre_augmentation_keys: Sequence[str] = (),
+                    seed: int = 0):
+    get_rng = thread_rng_factory(seed)
 
     def collate(batch: List[Dict]) -> Dict[str, np.ndarray]:
         rng = get_rng()

@@ -139,7 +139,11 @@ class Encoder1D(nn.Module):
                 (cfg.quantizer_levels, z.shape)
             q_rng = None
             if training and cfg.quantizer_noise_dropout > 0:
-                q_rng = rng if rng is not None else self.make_rng("sample")
+                # with vae_regularisation the incoming rng already seeded the
+                # reparam noise above — fold_in so the FSQ dropout masks are
+                # an independent stream, not a correlated replay
+                q_rng = (jax.random.fold_in(rng, 1) if rng is not None
+                         else self.make_rng("sample"))
             z = fsq.quantize(z, q_rng)
 
         # upscale_out: transpose-conv chain back to frame rate, applied

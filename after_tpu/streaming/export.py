@@ -99,7 +99,7 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                 guidance_structure, rng=jax.random.wrap_key_data(rng))),
             (audio_in, audio_in, rng_in)),
     }
-    if cfg.zs_channels == 128:
+    if streamer.is_midi:
         # MIDI models additionally export the note-pair surface the
         # reference MIDI device drives (export_midi.py:401-417): n_poly
         # (pitch, velocity) signal pairs per latent frame
@@ -110,8 +110,7 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                 variables, st, notes, zt, nb_steps, guidance_timbre,
                 guidance_structure, rng=jax.random.wrap_key_data(rng))),
             (notes_in, zt_in, rng_in))
-    if (streamer.enc_time is None
-            and cfg.zs_channels != cfg.autoencoder.z_channels):
+    if streamer.is_midi:
         # midi models: structure comes from the piano roll, not audio —
         # the audio-structure paths would feed codec latents where the
         # denoiser expects the roll (reference export_midi has neither)

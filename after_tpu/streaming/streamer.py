@@ -79,6 +79,14 @@ class Streamer:
         # polyphony of the MIDI note-pair surface (reference
         # export_midi.py:31 default n_poly=8)
         self.n_poly = 8
+        # single MIDI-ness predicate shared by method_specs and the
+        # exporter (an audio model that happens to use zs_channels=128
+        # must not grow a bogus diffuse_midi surface)
+        self.is_midi = cfg.structure_type == "midi"
+        if self.is_midi and cfg.zs_channels != 128:
+            raise ValueError(
+                "midi models use the 128-bin piano roll as structure "
+                f"(zs_channels=128); config has {cfg.zs_channels}")
 
         self.codec = AudioCodec(cfg.autoencoder, streaming=True)
         self.rf = RectifiedFlow(cfg)
@@ -285,7 +293,9 @@ class Streamer:
         (export_midi.py:401-417) and denoises with it as structure."""
         B, T, n_poly, _ = notes.shape
         pitch = jnp.clip(notes[..., 0].astype(jnp.int32), 0, 127)
-        vel = notes[..., 1] / 127.0
+        # /128 matches the reference's streaming roll (export_midi.py:416;
+        # the offline training collate uses /127 per diffusion/utils.py:102)
+        vel = notes[..., 1] / 128.0
         roll = jnp.zeros((B, T, 128))
         roll = roll.at[
             jnp.arange(B)[:, None, None],
@@ -305,8 +315,7 @@ class Streamer:
         # midi models have no audio-structure encoder: `structure` emits raw
         # codec latents and the audio-structure generate_timbre path is
         # invalid (reference export_midi has neither)
-        midi = (self.enc_time is None
-                and cfg.zs_channels != cfg.autoencoder.z_channels)
+        midi = self.is_midi
         specs = {
             "forward": dict(in_channels=2, in_ratio=1, out_channels=1,
                             out_ratio=1),
@@ -334,7 +343,7 @@ class Streamer:
             **({"diffuse_midi": dict(
                 in_channels=2 * self.n_poly + cfg.zt_channels, in_ratio=r,
                 out_channels=cfg.denoiser.n_channels, out_ratio=r)}
-               if cfg.zs_channels == 128 else {}),
+               if midi else {}),
         }
         if midi:
             del specs["generate_timbre"]

@@ -137,6 +137,14 @@ def restore_checkpoint(model_dir: str, step: Optional[int] = None,
             return ckptr.restore(path)
 
 
+def shapes_compatible(a, b) -> bool:
+    """True when two pytrees carry the same multiset of leaf shapes (the
+    lenient structure-agnostic check partial restores use)."""
+    la = [tuple(np.shape(x)) for x in jax.tree_util.tree_leaves(a)]
+    lb = [tuple(np.shape(x)) for x in jax.tree_util.tree_leaves(b)]
+    return sorted(la) == sorted(lb)
+
+
 def filter_partial_load(restored: Dict, current: Dict,
                         load_encoders=(True, True, True)) -> Dict:
     """Partial-load mask for restarts with frozen/absent encoders
@@ -150,14 +158,9 @@ def filter_partial_load(restored: Dict, current: Dict,
     midi-config restart must not inherit an audio run's encoder_time), and
     a subtree whose leaf shapes no longer match the current config stays
     fresh instead of crashing the first train step."""
-    def compatible(a, b):
-        la = [tuple(np.shape(x)) for x in jax.tree_util.tree_leaves(a)]
-        lb = [tuple(np.shape(x)) for x in jax.tree_util.tree_leaves(b)]
-        return sorted(la) == sorted(lb)
-
     out = {}
     for k, v in current.items():
-        if k in restored and compatible(restored[k], v):
+        if k in restored and shapes_compatible(restored[k], v):
             out[k] = restored[k]
         else:
             if k in restored:
