@@ -20,7 +20,15 @@ def build_argparser(cmd: str):
     p.add_argument("--emb_model_path", default=None,
                    help="codec checkpoint dir (a2a/midi export)")
     p.add_argument("--chunk_size", type=int, default=4)
-    p.add_argument("--nb_steps", type=int, default=1)
+    p.add_argument("--nb_steps", type=int, default=1,
+                   help="default diffusion step count (a live-settable "
+                        "attribute of the artifact, like the reference's "
+                        "nn~ nb_steps)")
+    p.add_argument("--guidance_timbre", type=float, default=1.0,
+                   help="default timbre guidance (live-settable attribute)")
+    p.add_argument("--guidance_structure", type=float, default=1.0,
+                   help="default structure guidance (live-settable "
+                        "attribute)")
     p.add_argument("--latent_range", type=float, default=1.0)
     p.add_argument("--compute_dtype", default=None,
                    help="e.g. bfloat16: bake a reduced-precision compute "
@@ -71,7 +79,9 @@ def main(cmd: str, argv=None) -> int:
         args.model_path,
         f"after.{'midi' if cmd == 'export_midi' else 'audio'}."
         f"{os.path.basename(args.model_path.rstrip('/'))}")
-    export_streamer(streamer, variables, out, nb_steps=args.nb_steps)
+    export_streamer(streamer, variables, out, nb_steps=args.nb_steps,
+                    guidance_timbre=args.guidance_timbre,
+                    guidance_structure=args.guidance_structure)
     print(f"[{cmd}] exported -> {out}")
     return 0
 

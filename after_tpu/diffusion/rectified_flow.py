@@ -203,7 +203,9 @@ class RectifiedFlow:
         precision while the Euler state accumulates in x0's dtype.
         """
         dt = 1.0 / nb_steps
-        t_values = jnp.linspace(0.0, 1.0, nb_steps + 1)[:-1]
+        # t_i = i/n exactly — the same arithmetic the dynamic streaming
+        # sampler uses, so stream == offline holds bit-for-bit
+        t_values = jnp.arange(nb_steps, dtype=jnp.float32) / nb_steps
         if compute_dtype is not None:
             net_params = cast_floating(net_params, compute_dtype)
             cond = cond.astype(compute_dtype)
@@ -219,18 +221,33 @@ class RectifiedFlow:
         x, _ = jax.lax.scan(step, x0, t_values)
         return x
 
-    @partial(jax.jit, static_argnums=(0, 6, 9))
+    @partial(jax.jit, static_argnums=(0, 9))
     def sample_stream(self, net_params, cache, x0, cond, time_cond,
-                      nb_steps: int, guidance_timbre: float = 1.0,
-                      guidance_structure: float = 1.0, compute_dtype=None):
+                      nb_steps=1, guidance_timbre=1.0,
+                      guidance_structure=1.0, compute_dtype=None):
         """One streaming buffer: denoise `chunk` frames with nb_steps Euler
         steps, each step indexing its own KV-cache slot; returns (x, cache).
 
         Replaces export.py:398-416 (sample + roll_cache per step).  The CFG
         triple shares the cache batch dim, so caches are built for batch 3B.
+
+        ``nb_steps`` / ``guidance_timbre`` / ``guidance_structure`` are
+        RUNTIME values (traced scalars), mirroring the reference's
+        live-settable nn~ attributes (export.py:180-182,331-356): the host
+        changes diffusion quality and guidance between buffers without
+        recompiling or re-exporting.  The Euler loop is a
+        ``lax.while_loop`` with a dynamic trip count, so a 1-step call
+        does 1 denoiser forward regardless of the compiled maximum; the KV
+        cache carries ``max_diffusion_steps`` slots, which bounds nb_steps.
         """
-        dt = 1.0 / nb_steps
-        t_values = jnp.linspace(0.0, 1.0, nb_steps + 1)[:-1]
+        nb = jnp.clip(jnp.asarray(nb_steps, jnp.int32), 1,
+                      self.cfg.denoiser.max_diffusion_steps)
+        nb_f = nb.astype(jnp.float32)
+        dt = 1.0 / nb_f
+        # strong f32 scalars: a live call (Python floats) and an exported
+        # call (f32 attribute inputs) then produce bit-identical CFG mixes
+        guidance_timbre = jnp.asarray(guidance_timbre, jnp.float32)
+        guidance_structure = jnp.asarray(guidance_structure, jnp.float32)
         if compute_dtype is not None:
             # KV caches ride the carry, so they must already be at
             # compute_dtype (Streamer.init_state handles this)
@@ -238,16 +255,15 @@ class RectifiedFlow:
             cond = cond.astype(compute_dtype)
             time_cond = time_cond.astype(compute_dtype)
 
-        def step(carry, it):
+        def step(i, carry):
             x, cache = carry
-            i, t = it
+            t = i.astype(jnp.float32) / nb_f
             xi = (x if compute_dtype is None else x.astype(compute_dtype))
             time = jnp.full((x.shape[0],), t, xi.dtype)
             dx, cache = self.model_forward(
                 net_params, xi, time, cond, time_cond, guidance_timbre,
                 guidance_structure, cache=cache, cache_index=i)
-            return (x + dx.astype(x.dtype) * dt, cache), None
+            return (x + dx.astype(x.dtype) * dt, cache)
 
-        steps = (jnp.arange(nb_steps), t_values)
-        (x, cache), _ = jax.lax.scan(step, (x0, cache), steps)
+        x, cache = jax.lax.fori_loop(0, nb, step, (x0, cache))
         return x, cache

@@ -161,8 +161,8 @@ class AfterFrontend:
         """MIDI file -> audio (the afterv2midi.js device surface): the
         128-bin piano roll sampled at the latent rate is the structure
         conditioning directly (midi-config models, zs_channels=128)."""
-        if self.cfg.zs_channels != 128:
-            raise ValueError("not a MIDI model (zs_channels != 128); "
+        if self.cfg.structure_type != "midi":
+            raise ValueError("not a MIDI model (structure_type != 'midi'); "
                              "use /api/transfer with audio instead")
         from ..dataset.midi import MidiFile
 
@@ -187,7 +187,7 @@ class AfterFrontend:
                 "nb_steps": self.nb_steps,
                 "ratio": self.cfg.autoencoder.ratio,
                 "max_seconds": self.max_samples / self.cfg.sr,
-                "is_midi": self.cfg.zs_channels == 128,
+                "is_midi": self.cfg.structure_type == "midi",
                 "has_projector": self.projector_params is not None}
 
 

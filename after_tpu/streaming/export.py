@@ -62,6 +62,14 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
     zt_in = jnp.zeros((batch_size, cfg.zt_channels), jnp.float32)
     lat_in = jnp.zeros((batch_size, T, cfg.denoiser.n_channels), jnp.float32)
     rng_in = jnp.zeros((2,), jnp.uint32)
+    # live-settable attributes (reference export.py:180-182,331-356
+    # registers nb_steps / guidance_* as nn~ attributes the host changes
+    # between buffers): here they are RUNTIME scalar inputs of every
+    # diffusing method, trailing the rng — no re-export to change them
+    steps_in = jnp.zeros((), jnp.int32)
+    gt_in = jnp.zeros((), jnp.float32)
+    gs_in = jnp.zeros((), jnp.float32)
+    attr_in = (steps_in, gt_in, gs_in)
 
     def pack(f):
         """(state_leaves..., x) closure threading the flat state."""
@@ -76,28 +84,29 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
             variables, st, x)), (audio_in,)),
         "timbre": (pack(lambda st, x: streamer.timbre(
             variables, st, x)), (audio_in,)),
-        "diffuse": (pack(lambda st, zs, zt, rng: streamer.diffuse(
-            variables, st, zs, zt, nb_steps, guidance_timbre,
-            guidance_structure,
-            rng=jax.random.wrap_key_data(rng))), (zs_in, zt_in, rng_in)),
+        "diffuse": (pack(lambda st, zs, zt, rng, nb, gt, gs: streamer.diffuse(
+            variables, st, zs, zt, nb, gt, gs,
+            rng=jax.random.wrap_key_data(rng))),
+            (zs_in, zt_in, rng_in) + attr_in),
         "decode": (pack(lambda st, z: streamer.decode(
             variables, st, z)), (lat_in,)),
-        "generate": (pack(lambda st, zs, zt, rng: streamer.generate(
-            variables, st, zs, zt, nb_steps, guidance_timbre,
-            guidance_structure,
-            rng=jax.random.wrap_key_data(rng))), (zs_in, zt_in, rng_in)),
+        "generate": (pack(
+            lambda st, zs, zt, rng, nb, gt, gs: streamer.generate(
+                variables, st, zs, zt, nb, gt, gs,
+                rng=jax.random.wrap_key_data(rng))),
+            (zs_in, zt_in, rng_in) + attr_in),
         "generate_timbre": (pack(
-            lambda st, x, zt, rng: streamer.generate_timbre(
-                variables, st, x, zt, nb_steps, guidance_timbre,
-                guidance_structure, rng=jax.random.wrap_key_data(rng))),
-            (audio_in, zt_in, rng_in)),
+            lambda st, x, zt, rng, nb, gt, gs: streamer.generate_timbre(
+                variables, st, x, zt, nb, gt, gs,
+                rng=jax.random.wrap_key_data(rng))),
+            (audio_in, zt_in, rng_in) + attr_in),
         # the full fused a2a step — the reference nn~ `forward`
         # (export.py:486-493): one dispatch per audio callback
         "forward": (pack(
-            lambda st, a, b, rng: streamer.forward(
-                variables, st, a, b, nb_steps, guidance_timbre,
-                guidance_structure, rng=jax.random.wrap_key_data(rng))),
-            (audio_in, audio_in, rng_in)),
+            lambda st, a, b, rng, nb, gt, gs: streamer.forward(
+                variables, st, a, b, nb, gt, gs,
+                rng=jax.random.wrap_key_data(rng))),
+            (audio_in, audio_in, rng_in) + attr_in),
     }
     if streamer.is_midi:
         # MIDI models additionally export the note-pair surface the
@@ -106,10 +115,10 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
         notes_in = jnp.zeros((batch_size, T, streamer.n_poly, 2),
                              jnp.float32)
         methods["diffuse_midi"] = (pack(
-            lambda st, notes, zt, rng: streamer.diffuse_midi(
-                variables, st, notes, zt, nb_steps, guidance_timbre,
-                guidance_structure, rng=jax.random.wrap_key_data(rng))),
-            (notes_in, zt_in, rng_in))
+            lambda st, notes, zt, rng, nb, gt, gs: streamer.diffuse_midi(
+                variables, st, notes, zt, nb, gt, gs,
+                rng=jax.random.wrap_key_data(rng))),
+            (notes_in, zt_in, rng_in) + attr_in)
     if streamer.is_midi:
         # midi models: structure comes from the piano roll, not audio —
         # the audio-structure paths would feed codec latents where the
@@ -166,13 +175,25 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
     for i, l in enumerate(leaves):
         np.asarray(l).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "methods": streamer.method_specs(),
         "chunk_size": T,
         "audio_chunk": A,
         "ratio": streamer.ratio,
         "sr": cfg.sr,
         "nb_steps": nb_steps,
+        # live-settable attribute defaults + bounds (the nn~ attribute
+        # registry equivalent); hosts feed these as trailing scalar inputs
+        # to every method whose spec lists "attributes"
+        "attributes": {
+            "nb_steps": {"default": int(nb_steps), "dtype": "int32",
+                         "min": 1,
+                         "max": int(cfg.denoiser.max_diffusion_steps)},
+            "guidance_timbre": {"default": float(guidance_timbre),
+                                "dtype": "float32"},
+            "guidance_structure": {"default": float(guidance_structure),
+                                   "dtype": "float32"},
+        },
         "n_state_leaves": len(leaves),
         "state_shapes": [list(np.shape(l)) for l in leaves],
         "state_dtypes": [str(np.asarray(l).dtype) for l in leaves],
@@ -185,7 +206,13 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
 
 class ExportedStreamer:
     """Python host for an exported artifact (mirrors what the C++ PJRT host
-    does): holds flat state, calls the deserialized methods per buffer."""
+    does): holds flat state, calls the deserialized methods per buffer.
+
+    Live-settable attributes (reference nn~ getters/setters,
+    export.py:331-356): ``set_attribute("nb_steps"|"guidance_timbre"|
+    "guidance_structure", v)`` takes effect on the next buffer — the
+    attribute values are trailing runtime inputs of the compiled methods,
+    so no recompilation happens."""
 
     def __init__(self, path: str):
         with open(os.path.join(path, "manifest.json")) as f:
@@ -196,9 +223,34 @@ class ExportedStreamer:
             if os.path.exists(p):
                 self._methods[name] = jexport.deserialize(
                     open(p, "rb").read())
+        self.attributes = {
+            k: v["default"]
+            for k, v in self.manifest.get("attributes", {}).items()}
         self.reset(path)
 
+    def set_attribute(self, name: str, value):
+        spec = self.manifest.get("attributes", {}).get(name)
+        if spec is None:
+            raise KeyError(f"no such attribute: {name}")
+        value = int(value) if spec["dtype"] == "int32" else float(value)
+        if "min" in spec:
+            value = max(spec["min"], min(spec["max"], value))
+        self.attributes[name] = value
+        return value
+
+    def get_attribute(self, name: str):
+        return self.attributes[name]
+
+    def _attr_args(self, name: str):
+        names = self.manifest["methods"].get(name, {}).get("attributes", ())
+        return tuple(
+            jnp.asarray(self.attributes[a],
+                        jnp.int32 if self.manifest["attributes"][a]["dtype"]
+                        == "int32" else jnp.float32)
+            for a in names)
+
     def call(self, name: str, *xs):
+        xs = xs + self._attr_args(name)
         if self.manifest["methods"].get(name, {}).get("stateless"):
             return self._methods[name].call(*xs)
         y, new_state = self._methods[name].call(self.state, *xs)

@@ -178,7 +178,7 @@ class Streamer:
         return zt, dataclasses.replace(state, codec_timbre=enc_cache,
                                        prev_timbre=ring)
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=0)
     def diffuse(self, variables, state: StreamState, time_cond: jnp.ndarray,
                 zsem: jnp.ndarray, nb_steps: int = 1,
                 guidance_timbre: float = 1.0, guidance_structure: float = 1.0,
@@ -220,7 +220,7 @@ class Streamer:
                                  audio_timbre, nb_steps, guidance_timbre,
                                  guidance_structure, rng)
 
-    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
+    @partial(jax.jit, static_argnums=0, donate_argnums=(2,))
     def _forward_jit(self, variables, state, audio_structure, audio_timbre,
                      nb_steps, guidance_timbre, guidance_structure, rng):
         # `state` is donated: the stream state buffers are updated in place
@@ -233,7 +233,7 @@ class Streamer:
         audio, state = self.decode(variables, state, z)
         return audio, state
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=0)
     def generate(self, variables, state: StreamState, time_cond, zsem,
                  nb_steps: int = 1, guidance_timbre: float = 1.0,
                  guidance_structure: float = 1.0,
@@ -245,7 +245,7 @@ class Streamer:
                                 guidance_timbre, guidance_structure, rng=rng)
         return self.decode(variables, state, z)
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=0)
     def generate_timbre(self, variables, state: StreamState, audio, zsem,
                         nb_steps: int = 1, guidance_timbre: float = 1.0,
                         guidance_structure: float = 1.0,
@@ -281,7 +281,7 @@ class Streamer:
 
     # -- MIDI-to-audio streaming (reference export_midi.py:150-476) -------
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=0)
     def diffuse_midi(self, variables, state: StreamState,
                      notes: jnp.ndarray, zsem: jnp.ndarray,
                      nb_steps: int = 1, guidance_timbre: float = 1.0,
@@ -316,9 +316,13 @@ class Streamer:
         # codec latents and the audio-structure generate_timbre path is
         # invalid (reference export_midi has neither)
         midi = self.is_midi
+        # diffusing methods take the live-settable attribute scalars
+        # (nb_steps, guidances) as trailing runtime inputs when exported —
+        # the nn~ attribute registration equivalent (export.py:180-182)
+        attrs = ("nb_steps", "guidance_timbre", "guidance_structure")
         specs = {
             "forward": dict(in_channels=2, in_ratio=1, out_channels=1,
-                            out_ratio=1),
+                            out_ratio=1, attributes=attrs),
             "structure": dict(in_channels=1, in_ratio=1,
                               out_channels=(cfg.autoencoder.z_channels
                                             if midi else cfg.zs_channels),
@@ -328,13 +332,15 @@ class Streamer:
             "diffuse": dict(in_channels=cfg.zs_channels + cfg.zt_channels,
                             in_ratio=r,
                             out_channels=cfg.denoiser.n_channels,
-                            out_ratio=r),
+                            out_ratio=r, attributes=attrs),
             "decode": dict(in_channels=cfg.denoiser.n_channels, in_ratio=r,
                            out_channels=1, out_ratio=1),
             "generate": dict(in_channels=cfg.zs_channels + cfg.zt_channels,
-                             in_ratio=r, out_channels=1, out_ratio=1),
+                             in_ratio=r, out_channels=1, out_ratio=1,
+                             attributes=attrs),
             "generate_timbre": dict(in_channels=1 + cfg.zt_channels,
-                                    in_ratio=1, out_channels=1, out_ratio=1),
+                                    in_ratio=1, out_channels=1, out_ratio=1,
+                                    attributes=attrs),
             "latent2map": dict(in_channels=cfg.zt_channels, in_ratio=1,
                                out_channels=2, out_ratio=1, stateless=True),
             "map2latent": dict(in_channels=2, in_ratio=1,
@@ -342,7 +348,8 @@ class Streamer:
                                stateless=True),
             **({"diffuse_midi": dict(
                 in_channels=2 * self.n_poly + cfg.zt_channels, in_ratio=r,
-                out_channels=cfg.denoiser.n_channels, out_ratio=r)}
+                out_channels=cfg.denoiser.n_channels, out_ratio=r,
+                attributes=attrs)}
                if midi else {}),
         }
         if midi:

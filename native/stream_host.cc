@@ -57,12 +57,26 @@ bool FileExists(const std::string& path) {
   return f.good();
 }
 
-// Minimal JSON value extraction (the manifest is machine-written).
+// Minimal JSON value extraction (the manifest is machine-written).  Only a
+// `"key": <int>` occurrence counts: the key string may also appear as a
+// VALUE elsewhere (e.g. "nb_steps" inside a method's attributes list), so
+// require the colon to immediately follow the closing quote.
 int64_t JsonInt(const std::string& j, const std::string& key, int64_t dflt) {
-  auto pos = j.find("\"" + key + "\"");
-  if (pos == std::string::npos) return dflt;
-  pos = j.find(':', pos);
-  return std::strtoll(j.c_str() + pos + 1, nullptr, 10);
+  const std::string quoted = "\"" + key + "\"";
+  size_t pos = 0;
+  while ((pos = j.find(quoted, pos)) != std::string::npos) {
+    size_t p = pos + quoted.size();
+    while (p < j.size() && (j[p] == ' ' || j[p] == '\n')) ++p;
+    if (p < j.size() && j[p] == ':') {
+      ++p;
+      while (p < j.size() && (j[p] == ' ' || j[p] == '\n')) ++p;
+      if (p < j.size() && ((j[p] >= '0' && j[p] <= '9') || j[p] == '-')) {
+        return std::strtoll(j.c_str() + p, nullptr, 10);
+      }
+    }
+    pos += quoted.size();
+  }
+  return dflt;
 }
 
 // Parse "state_shapes": [[..],[..]] and "state_dtypes": ["float32",...]
@@ -432,6 +446,7 @@ int main(int argc, char** argv) {
   std::string out_path = argv[5];
 
   std::string manifest = ReadFile(art + "/manifest.json");
+  int64_t format_version = JsonInt(manifest, "format_version", 1);
   int64_t audio_chunk = JsonInt(manifest, "audio_chunk", 8192);
   int64_t chunk = JsonInt(manifest, "chunk_size", 4);
   int64_t sr = JsonInt(manifest, "sr", 44100);
@@ -443,6 +458,18 @@ int main(int argc, char** argv) {
   int64_t n_chunks = std::min(in_struct.samples.size(),
                               in_timbre.samples.size()) / audio_chunk;
   if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
+
+  // live-settable attributes (manifest format_version >= 2): nb_steps and
+  // the two guidances are trailing runtime scalar inputs of `diffuse` —
+  // the host can change them between any two buffers without recompiling
+  // (the nn~ attribute surface, reference export.py:331-356).  CLI:
+  // [nb_steps] [guidance_timbre] [guidance_structure] after n_chunks.
+  int32_t attr_nb_steps =
+      static_cast<int32_t>(JsonInt(manifest, "nb_steps", 1));
+  float attr_g_timbre = 1.0f, attr_g_structure = 1.0f;
+  if (argc > 7) attr_nb_steps = std::atoi(argv[7]);
+  if (argc > 8) attr_g_timbre = std::atof(argv[8]);
+  if (argc > 9) attr_g_structure = std::atof(argv[9]);
 
   PjrtHost host(plugin);
   std::string copts = FileExists(art + "/compile_options.pb")
@@ -506,7 +533,20 @@ int main(int argc, char** argv) {
     rng_data[0] = static_cast<uint32_t>(c + 1);
     PJRT_Buffer* rng = host.ToDevice(rng_data, PJRT_Buffer_Type_U32,
                                      rng_dims);
-    PJRT_Buffer* z = run_state_method(m_diffuse, {zs, zt, rng});
+    std::vector<PJRT_Buffer*> diffuse_args{zs, zt, rng};
+    if (format_version >= 2) {
+      std::vector<int64_t> scalar_dims;  // rank-0
+      diffuse_args.push_back(host.ToDevice(&attr_nb_steps,
+                                           PJRT_Buffer_Type_S32,
+                                           scalar_dims));
+      diffuse_args.push_back(host.ToDevice(&attr_g_timbre,
+                                           PJRT_Buffer_Type_F32,
+                                           scalar_dims));
+      diffuse_args.push_back(host.ToDevice(&attr_g_structure,
+                                           PJRT_Buffer_Type_F32,
+                                           scalar_dims));
+    }
+    PJRT_Buffer* z = run_state_method(m_diffuse, diffuse_args);
     PJRT_Buffer* y = run_state_method(m_decode, {z});
 
     std::vector<float> out(audio_chunk);

@@ -136,6 +136,47 @@ def test_exported_forward_equals_method_chain(exported):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
 
 
+def test_runtime_attributes_match_live(exported):
+    """nb_steps / guidance_timbre / guidance_structure are live-settable
+    attributes of the exported artifact (reference nn~ attributes,
+    export.py:180-182,331-356): change them BETWEEN buffers on one host and
+    the outputs match a live Streamer run at the same settings."""
+    cfg, streamer, variables, out = exported
+    rng0 = np.random.RandomState(11)
+    zs = jnp.asarray(rng0.randn(1, 4, cfg.zs_channels).astype(np.float32))
+    zt = jnp.asarray(rng0.randn(1, cfg.zt_channels).astype(np.float32))
+
+    host = ExportedStreamer(out)
+    assert host.get_attribute("nb_steps") == 2  # export-time default
+    live_state = streamer.init_state(variables, 1)
+
+    settings = [(1, 1.0, 1.0), (4, 2.0, 0.5), (2, 0.0, 3.0)]
+    for i, (nb, gt, gs) in enumerate(settings):
+        host.set_attribute("nb_steps", nb)
+        host.set_attribute("guidance_timbre", gt)
+        host.set_attribute("guidance_structure", gs)
+        key = jax.random.PRNGKey(100 + i)
+        z_exp = host.call("diffuse", zs, zt, jax.random.key_data(key))
+        z_live, live_state = streamer.diffuse(variables, live_state, zs, zt,
+                                              nb, gt, gs, rng=key)
+        np.testing.assert_allclose(np.asarray(z_exp), np.asarray(z_live),
+                                   atol=1e-5)
+
+    # settings genuinely change the output (the scalars are live inputs,
+    # not baked constants)
+    key = jax.random.PRNGKey(200)
+    host.set_attribute("nb_steps", 1)
+    z1 = np.asarray(host.call("diffuse", zs, zt, jax.random.key_data(key)))
+    host.set_attribute("nb_steps", 4)
+    z4 = np.asarray(host.call("diffuse", zs, zt, jax.random.key_data(key)))
+    assert np.abs(z1 - z4).max() > 1e-6
+
+    # out-of-range step counts clamp to the compiled KV-cache slot count
+    assert (host.set_attribute("nb_steps", 10 ** 6)
+            == cfg.denoiser.max_diffusion_steps)
+    assert host.set_attribute("nb_steps", 0) == 1
+
+
 def test_exported_midi_diffuse_matches_live(tmp_path):
     """MIDI models export the note-pair surface (reference export_midi.py):
     exported diffuse_midi == live, same state + rng."""
@@ -145,6 +186,7 @@ def test_exported_midi_diffuse_matches_live(tmp_path):
     cfg = with_overrides(cfg, {
         "autoencoder.causal": True, "autoencoder.use_norm": False,
         "zs_channels": 128, "denoiser.tcond_dim": 128,
+        "structure_type": "midi",
     })
     cfg = dataclasses.replace(cfg, encoder_time=None, classifier=None)
     streamer = Streamer(cfg, chunk_size=4)

@@ -122,6 +122,7 @@ def test_streamer_midi_diffuse():
         "autoencoder.use_norm": False,
         "zs_channels": 128,
         "denoiser.tcond_dim": 128,
+        "structure_type": "midi",
     })
     cfg = dataclasses.replace(cfg, encoder_time=None, classifier=None)
     streamer = Streamer(cfg, chunk_size=4)
