@@ -58,6 +58,24 @@ def test_exported_matches_live(exported):
         np.testing.assert_allclose(np.asarray(y_exp), np.asarray(y_live),
                                    atol=1e-5)
 
+    # the fused a2a step too: exported forward == live forward buffer by
+    # buffer (with test_full_graph_stream_matches_offline this closes the
+    # offline == live == exported chain for the whole composed graph)
+    host_f = ExportedStreamer(out)
+    live_state = streamer.init_state(variables, 1)
+    rs = np.random.RandomState(5)
+    for i in range(3):
+        a = jnp.asarray(0.05 * rs.randn(1, streamer.audio_chunk, 1)
+                        .astype(np.float32))
+        b = jnp.asarray(0.05 * rs.randn(1, streamer.audio_chunk, 1)
+                        .astype(np.float32))
+        key = jax.random.PRNGKey(50 + i)
+        y_live, live_state = streamer.forward(variables, live_state, a, b,
+                                              2, rng=key)
+        y_exp = host_f.call("forward", a, b, jax.random.key_data(key))
+        np.testing.assert_allclose(np.asarray(y_exp), np.asarray(y_live),
+                                   atol=1e-5)
+
 
 def test_exported_full_chain_runs(exported):
     cfg, streamer, _, out = exported

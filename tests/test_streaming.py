@@ -105,7 +105,111 @@ def test_streamer_full_graph():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_streamer_specs():
+def _causal_micro_cfg():
+    cfg = micro_config()
+    return with_overrides(cfg, {"autoencoder.causal": True,
+                                "autoencoder.use_norm": False})
+
+
+@pytest.mark.slow
+def test_timbre_ring_matches_offline_window():
+    """The streamed timbre branch == offline: after c buffers the ring holds
+    the last n_signal latents of the timbre stream, so the streamed zt must
+    equal the ECAPA encoder applied to the offline codec latents of that
+    window (export.py:419-430 previous_timbre semantics)."""
+    from after_tpu.diffusion import TransferPipeline
+
+    cfg = _causal_micro_cfg()
+    streamer = Streamer(cfg, chunk_size=4)
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    A, T = streamer.audio_chunk, streamer.chunk_size
+    n_sig = cfg.train.n_signal
+    K = n_sig // T + 3  # ring fills after n_signal/chunk buffers
+
+    audio = 0.1 * np.random.RandomState(7).randn(1, K * A, 1).astype(
+        np.float32)
+    z_off = np.asarray(pipe.encode(variables, jnp.asarray(audio)))
+
+    state = streamer.init_state(variables, 1)
+    for c in range(K):
+        zt, state = streamer.timbre(variables, state,
+                                    jnp.asarray(audio[:, c * A:(c + 1) * A]))
+        end = (c + 1) * T
+        if end >= n_sig:
+            window = jnp.asarray(z_off[:, end - n_sig:end])
+            zt_off = pipe.timbre(variables, window)
+            np.testing.assert_allclose(np.asarray(zt), np.asarray(zt_off),
+                                       atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_graph_stream_matches_offline():
+    """The COMPOSED per-buffer a2a graph (Streamer.forward: timbre ring +
+    structure encoder + KV-cached sampler + streaming decode) equals the
+    offline TransferPipeline on the same audio after the warm-up transient
+    — the repo's #1 correctness bar (SURVEY §7.3), previously only checked
+    per component.
+
+    Construction for exact correspondence: the timbre stream is one buffer
+    repeated, so its latents are exactly periodic once the codec's FIR
+    receptive field passes and the streamed zt is constant after the ring
+    fills; the offline sampler gets the concatenated per-buffer noises and
+    that steady zt.  Buffers past (ring fill + local attention window +
+    decoder receptive field) must then match to float accumulation error."""
+    from after_tpu.diffusion import TransferPipeline
+    from after_tpu.models.autoencoder import decoder_band_delay
+
+    cfg = _causal_micro_cfg()
+    streamer = Streamer(cfg, chunk_size=4)
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    A, T = streamer.audio_chunk, streamer.chunk_size
+    n_sig = cfg.train.n_signal
+    K = 16
+    nb_steps = 2
+    rs = np.random.RandomState(11)
+    a_struct = 0.1 * rs.randn(1, K * A, 1).astype(np.float32)
+    tim_buf = 0.1 * rs.randn(1, A, 1).astype(np.float32)
+
+    # -- streamed --------------------------------------------------------
+    state = streamer.init_state(variables, 1)
+    ys = []
+    for c in range(K):
+        y, state = streamer.forward(
+            variables, state, jnp.asarray(a_struct[:, c * A:(c + 1) * A]),
+            jnp.asarray(tim_buf), nb_steps,
+            rng=jax.random.PRNGKey(1000 + c))
+        ys.append(np.asarray(y))
+    y_stream = np.concatenate(ys, axis=1)[0, :, 0]
+
+    # -- offline ---------------------------------------------------------
+    z_struct = pipe.encode(variables, jnp.asarray(a_struct))
+    tcond = pipe.structure(variables, z_struct)
+    z_tim = np.asarray(pipe.encode(
+        variables, jnp.asarray(np.tile(tim_buf, (1, K, 1)))))
+    # guard: the repeated-buffer latents really are periodic over the
+    # compared windows (FIR codec; fails loudly if a recurrent path
+    # appears), so the streamed zt is constant there
+    last = z_tim[:, K * T - n_sig:]
+    prev = z_tim[:, (K - 1) * T - n_sig:(K - 1) * T]
+    np.testing.assert_allclose(prev, last, atol=1e-5)
+    zt = pipe.timbre(variables, jnp.asarray(last))
+    x0 = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(1000 + c),
+                           (1, T, cfg.denoiser.n_channels))
+         for c in range(K)], axis=1)
+    z_out = pipe.diffuse(variables, x0, zt, tcond, nb_steps)
+    y_off = np.asarray(pipe.decode(variables, z_out))[0, :, 0]
+
+    # -- compare past the transient, at the streaming decoder's lag ------
+    lag = decoder_band_delay(cfg.autoencoder) * cfg.autoencoder.pqmf_bands
+    warm = 13 * A  # ring fill (8) + attention window (2) + FIR margin
+    a = y_off[warm:len(y_stream) - lag]
+    b = y_stream[warm + lag:]
+    err = np.abs(a - b).max()
+    denom = np.abs(a).max()
+    assert err < 1e-3 and err / denom < 0.02, (err, denom)
     cfg = micro_config()
     cfg = with_overrides(cfg, {"autoencoder.causal": True,
                                "autoencoder.use_norm": False})
