@@ -157,21 +157,65 @@ class AutoencoderTrainer:
         disc_vars = {**disc_vars, "params": dparams}
         return (codec_vars, disc_vars, disc_opt_state), metrics
 
+    @partial(jax.jit, static_argnums=0)
+    def val_step(self, codec_vars, x, rng):
+        """Reconstruction losses + audio on a validation batch, no GAN terms
+        (reference trainer.py:221-260 val_step)."""
+        y, _, _, regloss, _ = self.codec.apply(
+            codec_vars, x, rng=rng, rngs={"noise": jax.random.fold_in(rng, 1)})
+        n = min(x.shape[1], y.shape[1])
+        xa, ya = x[:, :n], y[:, :n]
+        mrstft = multi_resolution_stft_loss(xa, ya, self.tc, self.cfg.sr)
+        metrics = {"val_mrstft": mrstft, "val_regularisation_loss": regloss,
+                   "val_total_loss": mrstft + regloss}
+        if self.tc.spectral_distance_weight > 0:
+            metrics["val_spectral_distance"] = spectral_distance(
+                xa, ya, self.cfg.sr, self.tc.spectral_scales,
+                self.tc.spectral_mels)
+        return metrics, ya
+
+    def validate(self, state: AETrainState, val_batches):
+        """Average val_step losses over fixed batches; returns (losses,
+        true/reconstruction audio pair from the last batch) — the
+        reference's every-10k-step human-in-the-loop check
+        (trainer.py:324-344)."""
+        import numpy as np
+        sums, count = {}, 0
+        x = y = None
+        for i, x_np in enumerate(val_batches):
+            x = jnp.asarray(x_np)
+            metrics, y = self.val_step(state.codec_vars, x,
+                                       jax.random.PRNGKey(i))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        losses = {k: v / max(count, 1) for k, v in sums.items()}
+        return losses, (np.asarray(x), np.asarray(y))
+
     # ------------------------------------------------------------------
 
     def fit(self, state: AETrainState, batches: Iterator, max_steps=None,
-            callback=None, rng: Optional[jax.Array] = None) -> AETrainState:
-        """batches yield (B, num_signal, 1) waveform arrays."""
+            callback=None, rng: Optional[jax.Array] = None,
+            mesh=None) -> AETrainState:
+        """batches yield (B, num_signal, 1) waveform arrays.
+
+        With ``mesh`` set (see parallel.shard_ae_state) each batch is sharded
+        over the "data" axis and both GAN steps run SPMD — the
+        Accelerate-DDP role in the reference
+        (/root/reference/after_scripts/train_autoencoder.py:211-216)."""
         tc = self.tc
         max_steps = max_steps if max_steps is not None else tc.max_steps
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if mesh is not None:
+            from ..parallel import global_batch_from_local
 
         for x in batches:
             if state.step >= max_steps:
                 break
             step = state.step
             rng, krng = jax.random.split(rng)
-            x = jnp.asarray(x)
+            x = (global_batch_from_local(x, mesh) if mesh is not None
+                 else jnp.asarray(x))
             warm = step > tc.warmup_steps
 
             if warm and step % tc.update_discriminator_every == 0:

@@ -54,6 +54,13 @@ def build_argparser():
                    help="dotted config override, repeatable: "
                         "--override denoiser.embed_dim=256 (value parsed as "
                         "JSON; mirrors the reference's gin bindings)")
+    p.add_argument("--mesh", default=None,
+                   help="SPMD mesh spec: 'auto' (all local devices on the "
+                        "data axis), 'data=N' or 'data=N,model=M' (tensor "
+                        "parallelism over the denoiser). batch_size is the "
+                        "GLOBAL batch and must divide by N. Replaces the "
+                        "reference's Accelerate DDP; multi-host pods shard "
+                        "the loader per process automatically")
     return p
 
 
@@ -86,6 +93,10 @@ def main(argv=None) -> int:
     from ..utils.logging import MetricsLogger
 
     args = build_argparser().parse_args(argv)
+    if args.mesh:
+        # must precede any other JAX call on multi-host pods
+        from ..parallel import initialize_distributed
+        initialize_distributed()
     names = tuple(args.config) if args.config else ("base",)
     cfg = get_config(*names)
     if args.override:
@@ -125,15 +136,47 @@ def main(argv=None) -> int:
     os.makedirs(model_dir, exist_ok=True)
     logger = MetricsLogger(model_dir)
 
+    # SPMD mesh: batch over "data" (DDP role of the reference's Accelerate),
+    # optional tensor parallelism over "model"; n_data=1 stays single-device
+    mesh = None
+    loader_kwargs = {"batch_size": cfg.train.batch_size}
+    if args.mesh:
+        from ..parallel import (host_shard_kwargs, make_mesh,
+                                parse_mesh_spec, shard_diffusion_state)
+        n_data, n_model = parse_mesh_spec(args.mesh)
+        if n_data * n_model > 1:
+            assert cfg.train.batch_size % n_data == 0, (
+                f"batch_size {cfg.train.batch_size} not divisible by "
+                f"mesh data axis {n_data}")
+            mesh = make_mesh(n_data=n_data, n_model=n_model)
+            loader_kwargs = host_shard_kwargs(cfg.train.batch_size)
+            print(f"[train] mesh: data={n_data} x model={n_model} over "
+                  f"{n_data * n_model} devices "
+                  f"({jax.process_count()} host(s))")
+
     collate = make_collate_fn(cfg.train.n_signal, cfg.structure_type,
                               args.ae_ratio, args.sr,
                               timbre_limit=args.timbre_limit,
                               timbre_augmentation_keys=tuple(aug_keys))
-    loader = DataLoader(dataset, cfg.train.batch_size, collate,
-                        weights=dataset.example_weights)
+    loader = DataLoader(dataset, collate_fn=collate,
+                        weights=dataset.example_weights, **loader_kwargs)
+
+    # fixed validation batches with pinned seeds (own collate instance so
+    # the val iterator never perturbs the train collate's rng streams):
+    # the val loss is the same subset at every checkpoint, matching the
+    # reference's fixed-split iteration (model.py:458-515)
     valset = CombinedDataset(path_dict, keys=["z", "metadata"],
                              config="validation")
-    val_loader = DataLoader(valset, cfg.train.batch_size, collate)
+    val_batches = []
+    if len(valset) > 0:
+        val_collate = make_collate_fn(
+            cfg.train.n_signal, cfg.structure_type, args.ae_ratio, args.sr,
+            timbre_limit=args.timbre_limit,
+            timbre_augmentation_keys=tuple(aug_keys), seed=1)
+        val_loader = DataLoader(valset, cfg.train.batch_size, val_collate,
+                                seed=1)
+        import itertools
+        val_batches = list(itertools.islice(iter(val_loader), 8))
 
     trainer = DiffusionTrainer(cfg)
     state = trainer.init(jax.random.PRNGKey(0))
@@ -205,17 +248,23 @@ def main(argv=None) -> int:
             save_checkpoint(model_dir, st.step, state_tree(st),
                             config_json=to_json(cfg))
             print(f"[train] saved checkpoint at {st.step}")
-        if st.step % cfg.train.steps_valid == 0 and st.step > 0:
-            vloss = validate(trainer, st, val_loader)
+        if (val_batches and st.step % cfg.train.steps_valid == 0
+                and st.step > 0):
+            vloss = validate(trainer, st, val_batches)
             logger.log(st.step, {"val_diffusion_loss": vloss})
             print(f"[train] step {st.step} val loss {vloss:.4f}")
             if codec_decode is not None:
-                sample_validation_audio(trainer, st, val_loader, codec_decode,
-                                        logger, cfg)
+                sample_validation_audio(trainer, st, val_batches,
+                                        codec_decode, logger, cfg)
 
     codec_decode = None
     if args.emb_model_path:
         codec_decode = make_codec_decode(args.emb_model_path)
+
+    if mesh is not None:
+        # place params/EMA/optimizer moments on the mesh (TP where the rules
+        # match, replicated elsewhere); restored checkpoints reshard here too
+        state = shard_diffusion_state(state, mesh, tp=n_model > 1)
 
     print(f"[train] {args.name}: in_size={in_size}, "
           f"batch={cfg.train.batch_size}, steps={cfg.train.max_steps}")
@@ -225,20 +274,24 @@ def main(argv=None) -> int:
         with jax.profiler.trace(os.path.join(model_dir, "profile")):
             state = trainer.fit(state, iter(loader),
                                 max_steps=state.step + args.profile_steps,
-                                callback=callback)
-    state = trainer.fit(state, iter(loader), callback=callback)
+                                callback=callback, mesh=mesh)
+    state = trainer.fit(state, iter(loader), callback=callback, mesh=mesh)
     save_checkpoint(model_dir, state.step, state_tree(state),
                     config_json=to_json(cfg))
+    logger.flush(state.step)
+    logger.close()
     return 0
 
 
-def validate(trainer, state, val_loader, n_batches: int = 8) -> float:
+def validate(trainer, state, val_batches) -> float:
+    """Mean diffusion loss over the FIXED validation batches (same subset
+    every call — curves are comparable across checkpoints, reference
+    model.py:458-515)."""
     import jax
     import jax.numpy as jnp
     losses = []
-    it = iter(val_loader)
-    for i in range(n_batches):
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    for i, b in enumerate(val_batches):
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
         (cond, _, _), _ = trainer.rf.encode_timbre(state.variables,
                                                    batch["x_cond"])
         (tcond, _, _), _ = trainer.rf.encode_structure(state.variables,
@@ -270,14 +323,14 @@ def make_codec_decode(ckpt_dir: str):
     return dec
 
 
-def sample_validation_audio(trainer, state, val_loader, codec_decode, logger,
+def sample_validation_audio(trainer, state, val_batches, codec_decode, logger,
                             cfg, n: int = 4):
     """Log true / reconstruction / transfer audio triplets
     (reference model.py:517-561), using the EMA weights."""
     import jax
     import jax.numpy as jnp
 
-    batch = next(iter(val_loader))
+    batch = val_batches[0]
     x1 = jnp.asarray(batch["x"][:n])
     (cond, _, _), _ = trainer.rf.encode_timbre(state.variables,
                                                jnp.asarray(batch["x_cond"][:n]))

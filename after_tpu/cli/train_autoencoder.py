@@ -2,8 +2,8 @@
 
 Reference: /root/reference/after_scripts/train_autoencoder.py — random-crop
 collate with phase-mangle/gain augmentations (:95-127), Accelerate DDP
-(:211-216).  Here DP rides the jax mesh: the batch is sharded over the
-"data" axis and XLA all-reduces gradients over ICI.
+(:211-216).  Here DP rides the jax mesh (``--mesh auto``): the batch is
+sharded over the "data" axis and XLA all-reduces gradients over ICI.
 """
 
 from __future__ import annotations
@@ -27,6 +27,17 @@ def build_argparser():
     p.add_argument("--streaming", action="store_true",
                    help="causal / norm-free codec for streaming export")
     p.add_argument("--augment", action="store_true", default=True)
+    p.add_argument("--mesh", default=None,
+                   help="SPMD data-parallel mesh: 'auto' (all local devices) "
+                        "or 'data=N'. batch_size is the GLOBAL batch and "
+                        "must divide by N. Replaces the reference's "
+                        "Accelerate DDP (train_autoencoder.py:211-216)")
+    p.add_argument("--override", action="append", default=[],
+                   help="dotted config override, repeatable. 'train.*' keys "
+                        "hit the trainer config (--override "
+                        "train.warmup_steps=1000), everything else the "
+                        "codec architecture (--override z_channels=16); "
+                        "mirrors the reference's baseAE.gin surface")
     return p
 
 
@@ -71,19 +82,68 @@ def main(argv=None) -> int:
     from ..utils.logging import MetricsLogger
 
     args = build_argparser().parse_args(argv)
+    if args.mesh:
+        # must precede any other JAX call on multi-host pods
+        from ..parallel import initialize_distributed
+        initialize_distributed()
     ae_cfg = get_ae_config(causal=args.streaming,
                            use_norm=not args.streaming)
     tc = AETrainConfig(num_signal=args.num_signal,
                        batch_size=args.batch_size)
+    if args.override:
+        from ..config import with_overrides
+        from .train import parse_override_args
+        overrides = parse_override_args(args.override)
+        tc_over = {k[len("train."):]: v for k, v in overrides.items()
+                   if k.startswith("train.")}
+        ae_over = {k: v for k, v in overrides.items()
+                   if not k.startswith("train.")}
+        if tc_over:
+            tc = with_overrides(tc, tc_over)
+        if ae_over:
+            ae_cfg = with_overrides(ae_cfg, ae_over)
     if args.max_steps:
         tc = dataclasses.replace(tc, max_steps=args.max_steps)
+
+    # data-parallel mesh (the reference's Accelerate-DDP role); data=1 is a
+    # strict no-op
+    mesh = None
+    loader_kwargs = {"batch_size": tc.batch_size}
+    if args.mesh:
+        from ..parallel import (host_shard_kwargs, make_mesh,
+                                parse_mesh_spec, shard_ae_state)
+        n_data, n_model = parse_mesh_spec(args.mesh)
+        assert n_model == 1, "the codec trainer is data-parallel only"
+        if n_data > 1:
+            assert tc.batch_size % n_data == 0, (
+                f"batch_size {tc.batch_size} not divisible by mesh data "
+                f"axis {n_data}")
+            mesh = make_mesh(n_data=n_data, n_model=1)
+            loader_kwargs = host_shard_kwargs(tc.batch_size)
+            print(f"[train_autoencoder] mesh: data={n_data} "
+                  f"({jax.process_count()} host(s))")
 
     path_dict = {os.path.basename(p.rstrip("/")) or f"db{i}": p
                  for i, p in enumerate(args.db_path)}
     dataset = CombinedDataset(path_dict, keys=["waveform"], config="train")
-    loader = DataLoader(dataset, tc.batch_size,
-                        make_wave_collate(tc.num_signal, args.augment),
-                        weights=dataset.example_weights)
+    loader = DataLoader(dataset,
+                        collate_fn=make_wave_collate(tc.num_signal,
+                                                     args.augment),
+                        weights=dataset.example_weights, **loader_kwargs)
+
+    # fixed validation batches, drawn once with a pinned seed so the val
+    # curve is comparable across checkpoints (reference iterates a fixed
+    # val split, trainer.py:221-260)
+    valset = CombinedDataset(path_dict, keys=["waveform"],
+                             config="validation")
+    val_batches = []
+    if len(valset) > 0:
+        val_loader = DataLoader(valset, tc.batch_size,
+                                make_wave_collate(tc.num_signal,
+                                                  augment=False, seed=1),
+                                seed=1)
+        import itertools
+        val_batches = list(itertools.islice(iter(val_loader), 4))
 
     model_dir = os.path.join(args.out_path, args.name)
     logger = MetricsLogger(model_dir)
@@ -136,10 +196,29 @@ def main(argv=None) -> int:
         if st.step % tc.steps_save == 0 and st.step > 0:
             save_checkpoint(model_dir, st.step, state_tree(st),
                             config_json=ae_to_json(ae_cfg))
+        if (val_batches and st.step % tc.steps_valid == 0 and st.step > 0):
+            vlosses, (x, y) = trainer.validate(st, val_batches)
+            logger.log(st.step, vlosses)
+            logger.flush(st.step)
+            print(f"[train_autoencoder] step {st.step} "
+                  f"val mrstft {vlosses['val_mrstft']:.4f}")
+            # true[:4] | 1/3 s silence | reconstruction[:4], one stream
+            # (reference trainer.py:250-256)
+            gap = np.zeros((int(ae_cfg.sr / 3),), np.float32)
+            parts = [x[i, :, 0] for i in range(min(4, x.shape[0]))]
+            audio = np.concatenate(
+                parts + [gap] + [y[i, :, 0]
+                                 for i in range(min(4, y.shape[0]))])
+            logger.log_audio(st.step, "validation/audio", audio, ae_cfg.sr)
+
+    if mesh is not None:
+        state = shard_ae_state(state, mesh)
 
     print(f"[train_autoencoder] {args.name}: ratio={ae_cfg.ratio}, "
           f"batch={tc.batch_size}")
-    state = trainer.fit(state, iter(loader), callback=callback)
+    state = trainer.fit(state, iter(loader), callback=callback, mesh=mesh)
     save_checkpoint(model_dir, state.step, state_tree(state),
                     config_json=ae_to_json(ae_cfg))
+    logger.flush(state.step)
+    logger.close()
     return 0

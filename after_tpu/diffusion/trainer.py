@@ -437,12 +437,20 @@ class DiffusionTrainer:
 
     def fit(self, state: DiffusionTrainState, batches: Iterator[Dict],
             max_steps: Optional[int] = None, callback=None,
-            rng: Optional[jax.Array] = None) -> DiffusionTrainState:
+            rng: Optional[jax.Array] = None,
+            mesh=None) -> DiffusionTrainState:
         """Run the training loop over an iterator of numpy batches
-        {"x", "x_cond", "x_time_cond"} of latent crops."""
+        {"x", "x_cond", "x_time_cond"} of latent crops.
+
+        With ``mesh`` set (see parallel.shard_diffusion_state) each batch is
+        sharded over the mesh's "data" axis — per-host local rows on
+        multi-host pods — and the jitted steps run SPMD with XLA-placed
+        gradient collectives."""
         tc = self.tc
         max_steps = max_steps if max_steps is not None else tc.max_steps
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if mesh is not None:
+            from ..parallel import global_batch_from_local
 
         for batch in batches:
             if state.step >= max_steps:
@@ -452,7 +460,10 @@ class DiffusionTrainer:
             phase1 = step < tc.timbre_warmup
             is_cls_step = (not phase1 and self.rf.classifier is not None
                            and step % tc.update_classifier_every != 0)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = global_batch_from_local(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
             if is_cls_step:
                 (variables, cls_opt), metrics = self.classifier_step(

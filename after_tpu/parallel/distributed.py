@@ -63,8 +63,11 @@ def host_shard_kwargs(global_batch_size: int) -> Dict[str, Any]:
     assert global_batch_size % n == 0, (
         f"global batch {global_batch_size} not divisible by "
         f"{n} processes")
+    # seed == process_index keeps single-process mesh runs on the exact
+    # sampling stream a non-mesh run uses (seed 0) while still giving every
+    # pod host a unique stream
     return {"batch_size": global_batch_size // n,
-            "seed": 1234 + jax.process_index()}
+            "seed": jax.process_index()}
 
 
 def global_batch_from_local(local_batch: Any, mesh: Mesh,

@@ -110,6 +110,101 @@ def test_tp_specs_tolerate_scan_layer_axis():
     assert blk["mlp"]["Dense_1"]["kernel"] == P(None, "model", None)
 
 
+def test_parse_mesh_spec():
+    from after_tpu.parallel import parse_mesh_spec
+    assert parse_mesh_spec("auto", 8) == (8, 1)
+    assert parse_mesh_spec(None, 8) == (8, 1)
+    assert parse_mesh_spec("data=4", 8) == (4, 1)
+    assert parse_mesh_spec("data=4,model=2", 8) == (4, 2)
+    assert parse_mesh_spec("model=2", 8) == (4, 2)
+    assert parse_mesh_spec("data=1", 8) == (1, 1)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data=16", 8)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("rows=2", 8)
+
+
+@pytest.mark.slow
+def test_train_cli_mesh_dp_matches_single_device(tmp_path, monkeypatch,
+                                                 capsys):
+    """VERDICT r2 #2: `after-tpu train --mesh data=8` actually shards the
+    train state + batch across the mesh from the CLI (not just the dryrun),
+    and the resulting updates match the single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import sys
+    sys.path.insert(0, "tests")
+    from test_cli import MICRO_OVERRIDES
+
+    from after_tpu.cli.main import main as cli_main
+    from after_tpu.dataset import AudioExample, RecordWriter
+    from after_tpu.diffusion.trainer import DiffusionTrainer
+    from after_tpu.utils.checkpoint import restore_checkpoint
+
+    rng = np.random.RandomState(0)
+    db = tmp_path / "zdb"
+    with RecordWriter(str(db)) as w:
+        for i in range(8):
+            ae = AudioExample()
+            ae.put_array("z", rng.randn(8, 200).astype(np.float32))
+            ae.put_metadata({"name": f"rec{i}"})
+            w.put(f"{i:08d}", ae.serialize())
+
+    captured = {}
+    orig_fit = DiffusionTrainer.fit
+
+    def spy_fit(self, state, batches, **kw):
+        captured["mesh"] = kw.get("mesh")
+        captured["devs"] = {
+            len(leaf.sharding.device_set)
+            for leaf in jax.tree_util.tree_leaves(state.variables)}
+        return orig_fit(self, state, batches, **kw)
+
+    monkeypatch.setattr(DiffusionTrainer, "fit", spy_fit)
+
+    out = tmp_path / "runs"
+    base = ["train", "--db_path", str(db), "--out_path", str(out),
+            "--config", "tiny", "--batch_size", "8", "--max_steps", "2",
+            *MICRO_OVERRIDES]
+    assert cli_main(base + ["--name", "plain"]) == 0
+    assert captured["mesh"] is None
+
+    assert cli_main(base + ["--name", "mesh", "--mesh", "data=8"]) == 0
+    assert captured["mesh"] is not None
+    assert captured["devs"] == {8}, "CLI state not sharded over the mesh"
+    assert "mesh: data=8 x model=1 over 8 devices" in capsys.readouterr().out
+
+    # n_data=1 must be a strict no-op
+    assert cli_main(base + ["--name", "noop", "--mesh", "data=1"]) == 0
+    assert captured["mesh"] is None
+
+    # the loss curves must match the single-device run tightly (same data,
+    # same math; 8-way psum only changes the f32 reduction order)
+    import json
+    def losses(name):
+        entries = [json.loads(l) for l in
+                   open(out / name / "metrics.jsonl").read().splitlines()]
+        return [e["diffusion_loss"] for e in entries
+                if "diffusion_loss" in e]
+    l_ref, l_mesh = losses("plain"), losses("mesh")
+    assert l_ref and len(l_ref) == len(l_mesh)
+    np.testing.assert_allclose(l_mesh, l_ref, rtol=1e-3)
+
+    # params agree modulo adam's sign-like amplification of reduction-order
+    # noise on near-zero grads (one full lr-sized update, ~2e-4)
+    ref = restore_checkpoint(str(out / "plain"), 2)
+    got = restore_checkpoint(str(out / "mesh"), 2)
+    for path_ref, path_got in zip(
+            jax.tree_util.tree_leaves(ref["variables"]),
+            jax.tree_util.tree_leaves(got["variables"])):
+        np.testing.assert_allclose(np.asarray(path_got),
+                                   np.asarray(path_ref), atol=5e-4)
+    noop = restore_checkpoint(str(out / "noop"), 2)
+    for a, b in zip(jax.tree_util.tree_leaves(ref["variables"]),
+                    jax.tree_util.tree_leaves(noop["variables"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tp_sharded_scan_forward_matches_replicated():
     """A scan_layers denoiser forward under TP shardings equals the
     unsharded forward."""
