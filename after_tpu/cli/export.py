@@ -34,6 +34,13 @@ def build_argparser(cmd: str):
                    help="e.g. bfloat16: bake a reduced-precision compute "
                         "path (and state) into the artifact")
     p.add_argument("--out", default=None)
+    p.add_argument("--crossfade", action="store_true",
+                   help="export_autoencoder: force the non-causal crossfade "
+                        "streaming path (auto when the codec config is "
+                        "non-causal; reference AE_notcausal, "
+                        "export_autoencoder.py:131-153)")
+    p.add_argument("--n_fade", type=int, default=4,
+                   help="crossfade overlap in latent frames")
     return p
 
 
@@ -53,8 +60,32 @@ def main(cmd: str, argv=None) -> int:
 
     with open(os.path.join(args.model_path, "config.json")) as f:
         cfg = from_json(f.read())
-    cfg = with_overrides(cfg, {"autoencoder.causal": True,
-                               "autoencoder.use_norm": False})
+
+    # adopt the codec run's OWN architecture config (a norm-trained codec
+    # restored into a norm-free module would silently drop its gn params
+    # and produce wrong audio — fail loudly instead of force-overriding)
+    if args.emb_model_path:
+        from ..config import load_codec_config
+        codec_cfg_path = os.path.join(args.emb_model_path, "config.json")
+        if not os.path.exists(codec_cfg_path):
+            raise SystemExit(
+                f"[{cmd}] {codec_cfg_path} not found: the codec run must "
+                "carry its architecture config (re-save the checkpoint "
+                "with config_json, or copy the run's config.json)")
+        codec_cfg = load_codec_config(args.emb_model_path)
+        if not codec_cfg.causal:
+            raise SystemExit(
+                f"[{cmd}] the codec at {args.emb_model_path} is NON-CAUSAL "
+                "(causal=false in its config.json): the fused streaming "
+                "graph needs a causal codec. Export the codec separately "
+                "with `after-tpu export_autoencoder --crossfade` "
+                "(reference AE_notcausal) or retrain with --streaming.")
+        if codec_cfg.z_channels != cfg.denoiser.n_channels:
+            raise SystemExit(
+                f"[{cmd}] codec z_channels={codec_cfg.z_channels} does not "
+                f"match the diffusion model's latent size "
+                f"{cfg.denoiser.n_channels}")
+        cfg = with_overrides(cfg, {"autoencoder": codec_cfg})
 
     restored = restore_checkpoint(args.model_path, args.step)
     diff_vars = dict(restored["variables"])
@@ -88,23 +119,28 @@ def main(cmd: str, argv=None) -> int:
 
 def export_autoencoder(args) -> int:
     """Codec-only export: encode/decode streaming artifacts
-    (reference export_autoencoder.py)."""
+    (reference export_autoencoder.py).
+
+    Causal codecs stream exactly via cached convs (+ StreamGroupNorm when
+    norm-trained).  Non-causal codecs (the shipped reference base codec,
+    AE_notcausal :131-153) use the crossfade path: context-window encode +
+    overlap cross-faded decode, auto-selected from the codec's own
+    config.json (or forced with --crossfade)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import export as jexport
     import json
 
-    from ..config import load_codec_config, with_overrides
+    from ..config import load_codec_config
     from ..models import AudioCodec
-    from ..streaming.state import init_stream_state, zero_cache
+    from ..streaming.state import init_stream_state
     from ..utils.checkpoint import restore_checkpoint
 
     restored = restore_checkpoint(args.model_path, args.step)
     codec_vars = restored.get("codec_vars", restored)
-    cfg = with_overrides(load_codec_config(args.model_path),
-                         {"causal": True, "use_norm": False})
-    codec = AudioCodec(cfg, streaming=True)
+    cfg = load_codec_config(args.model_path)
+    crossfade = args.crossfade or not cfg.causal
 
     out = args.out or os.path.join(args.model_path, "codec_export")
     os.makedirs(out, exist_ok=True)
@@ -112,23 +148,54 @@ def export_autoencoder(args) -> int:
     audio = jnp.zeros((1, A, 1), jnp.float32)
     z = jnp.zeros((1, args.chunk_size, cfg.z_channels), jnp.float32)
 
-    enc_cache = init_stream_state(codec, audio, method=AudioCodec.encode)
-    dec_cache = init_stream_state(codec, z, method=AudioCodec.decode)
+    if crossfade:
+        from ..streaming.crossfade import CrossfadeDecoder
+        dec = CrossfadeDecoder(dataclasses.replace(cfg, causal=False)
+                               if cfg.causal else cfg, n_fade=args.n_fade,
+                               chunk_size=args.chunk_size)
+        enc_state, enc_treedef = jax.tree_util.tree_flatten(
+            dec.init_encode_state(codec_vars, 1))
+        dec_state, dec_treedef = jax.tree_util.tree_flatten(
+            dec.init_state(codec_vars, 1))
 
-    for name, cache, x, method in (
-            ("encode", enc_cache, audio, AudioCodec.encode),
-            ("decode", dec_cache, z, AudioCodec.decode)):
-        leaves, treedef = jax.tree_util.tree_flatten(cache)
+        def enc_fn(ls, xi):
+            st = jax.tree_util.tree_unflatten(enc_treedef, ls)
+            znew, st2 = dec.encode(codec_vars, st, xi)
+            return znew, jax.tree_util.tree_flatten(st2)[0]
 
-        def fn(ls, xi, _treedef=treedef, _method=method):
-            c = jax.tree_util.tree_unflatten(_treedef, ls)
-            y, aux = codec.apply({**codec_vars, "cache": c}, xi,
-                                 method=_method, mutable=["cache"])
-            return y, jax.tree_util.tree_flatten(aux["cache"])[0]
+        def dec_fn(ls, zi):
+            st = jax.tree_util.tree_unflatten(dec_treedef, ls)
+            y, st2 = dec.decode(codec_vars, st, zi)
+            return y, jax.tree_util.tree_flatten(st2)[0]
 
+        surfaces = (("encode", enc_fn, enc_state, audio),
+                    ("decode", dec_fn, dec_state, z))
+    else:
+        codec = AudioCodec(cfg, streaming=True)
+        enc_cache = init_stream_state(codec, audio, method=AudioCodec.encode)
+        dec_cache = init_stream_state(codec, z, method=AudioCodec.decode)
+
+        def make_fn(treedef, method):
+            def fn(ls, xi):
+                c = jax.tree_util.tree_unflatten(treedef, ls)
+                y, aux = codec.apply({**codec_vars, "cache": c}, xi,
+                                     method=method, mutable=["cache"])
+                return y, jax.tree_util.tree_flatten(aux["cache"])[0]
+            return fn
+
+        surfaces = tuple(
+            (name, make_fn(jax.tree_util.tree_flatten(cache)[1], method),
+             jax.tree_util.tree_flatten(cache)[0], x)
+            for name, cache, x, method in (
+                ("encode", enc_cache, audio, AudioCodec.encode),
+                ("decode", dec_cache, z, AudioCodec.decode)))
+
+    for name, fn, leaves, x in surfaces:
         exp = jexport.export(jax.jit(fn))(leaves, x)
         with open(os.path.join(out, f"{name}.stablehlo"), "wb") as f:
             f.write(exp.serialize())
+        with open(os.path.join(out, f"{name}.mlir.bc"), "wb") as f:
+            f.write(exp.mlir_module_serialized)
         np.savez(os.path.join(out, f"{name}_state.npz"),
                  **{f"leaf_{i}": np.asarray(l)
                     for i, l in enumerate(leaves)})
@@ -136,6 +203,13 @@ def export_autoencoder(args) -> int:
     with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump({"format_version": 1, "ratio": cfg.ratio,
                    "z_channels": cfg.z_channels, "sr": cfg.sr,
-                   "chunk_size": args.chunk_size}, f, indent=2)
-    print(f"[export_autoencoder] exported -> {out}")
+                   "chunk_size": args.chunk_size,
+                   "streaming": "crossfade" if crossfade else "cached",
+                   "n_fade": args.n_fade if crossfade else 0,
+                   # crossfade decode emits audio n_fade latent frames late
+                   "decode_lag_frames": args.n_fade if crossfade else 0,
+                   "config": json.loads(json.dumps(
+                       dataclasses.asdict(cfg)))}, f, indent=2)
+    print(f"[export_autoencoder] exported "
+          f"({'crossfade' if crossfade else 'cached-conv'}) -> {out}")
     return 0

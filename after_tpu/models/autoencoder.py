@@ -99,12 +99,18 @@ class ConvBlock1d(nn.Module):
         in_c = x.shape[-1]
         h = x
         if self.use_norm:
-            h = StreamGroupNorm(self.num_groups, streaming=self.streaming,
+            # streaming may be the "norm" sentinel: GroupNorm streams (pad
+            # buffer stats) while convs run offline/windowed — the
+            # reference's non-causal streaming mode (CachedGroupNorm.stream
+            # bound True with use_cached_conv False,
+            # export_autoencoder.py:291-312)
+            h = StreamGroupNorm(self.num_groups,
+                                streaming=bool(self.streaming),
                                 name="gn")(h)
         act = SnakeBeta(in_c, name="act")
         conv = StreamConv1d(self.out_c, self.kernel_size, stride=self.stride,
                             dilation=self.dilation, mode=self.mode,
-                            streaming=self.streaming, name="conv")
+                            streaming=self.streaming is True, name="conv")
         if self.fused and not self.streaming:
             # one VMEM-resident pass on TPU; StreamConv1d falls back to the
             # unfused lax path when the kernel does not cover the shape
@@ -170,7 +176,7 @@ class DownsampleBlock1d(nn.Module):
                               name=f"res_{i}")(h)
         h = SnakeBeta(in_c, name="act")(h)
         h = StreamConv1d(self.out_c, 2 * self.factor, stride=self.factor,
-                         mode=self.mode, streaming=self.streaming,
+                         mode=self.mode, streaming=self.streaming is True,
                          name="down")(h)
         return h
 
@@ -195,7 +201,8 @@ class UpsampleBlock1d(nn.Module):
         in_c = x.shape[-1]
         h = SnakeBeta(in_c, name="act")(x)
         h = StreamConvTranspose1d(self.out_c, 2 * self.factor, self.factor,
-                                  streaming=self.streaming, name="up")(h)
+                                  streaming=self.streaming is True,
+                                  name="up")(h)
         for i in range(self.num_layers):
             h = ResnetBlock1d(self.out_c, self.kernel_size, self.dilations[i],
                               self.num_groups, self.use_norm, True, self.mode,
@@ -229,7 +236,8 @@ class CodecEncoder(nn.Module):
                                   self.streaming, fused,
                                   name=f"down_{i}")(h)
         h = SnakeBeta(ch * cfg.multipliers[-1], name="act")(h)
-        h = StreamConv1d(out_channels, 3, mode=mode, streaming=self.streaming,
+        h = StreamConv1d(out_channels, 3, mode=mode,
+                         streaming=self.streaming is True,
                          name="to_out")(h)
         return h
 
@@ -251,7 +259,7 @@ class CodecDecoder(nn.Module):
         out_c = cfg.pqmf_bands if cfg.pqmf_bands > 1 else 1
 
         h = StreamConv1d(ch * mults[0], cfg.kernel_size, mode=mode,
-                         streaming=self.streaming, name="to_in")(z)
+                         streaming=self.streaming is True, name="to_in")(z)
         for i, f in enumerate(factors):
             h = UpsampleBlock1d(ch * mults[i + 1], f, num_blocks,
                                 cfg.dilations, cfg.kernel_size,
@@ -273,7 +281,7 @@ class CodecDecoder(nn.Module):
             rng = self.make_rng("noise") if self.has_rng("noise") else \
                 jax.random.PRNGKey(0)
             h = h + NoiseGenerator(out_c, mode=mode,
-                                   streaming=self.streaming,
+                                   streaming=self.streaming is True,
                                    name="noise")(feats, rng)
         return h
 
@@ -369,10 +377,10 @@ class AudioCodec(nn.Module):
     def setup(self):
         self.pqmf = PQMFAnalysis(self.cfg.pqmf_attenuation,
                                  self.cfg.pqmf_bands, self.cfg.causal,
-                                 self.streaming)
+                                 self.streaming is True)
         self.pqmf_inv = PQMFSynthesis(self.cfg.pqmf_attenuation,
                                       self.cfg.pqmf_bands, self.cfg.causal,
-                                      self.streaming,
+                                      self.streaming is True,
                                       parity=decoder_band_delay(self.cfg) % 2)
         self.encoder = CodecEncoder(self.cfg, self.streaming)
         self.decoder = CodecDecoder(self.cfg, self.streaming)

@@ -204,6 +204,42 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
     return out_dir
 
 
+class ExportedCodec:
+    """Python host for a codec-only artifact (`after-tpu export_autoencoder`):
+    stateful encode/decode, each with its own stream state — cached-conv
+    state for causal codecs, context/crossfade buffers for non-causal ones
+    (reference export_stream.ts, export_autoencoder.py:291-302)."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self._fns, self._state = {}, {}
+        for name in ("encode", "decode"):
+            self._fns[name] = jexport.deserialize(
+                open(os.path.join(path, f"{name}.stablehlo"), "rb").read())
+        self.reset(path)
+
+    def reset(self, path: str):
+        for name in ("encode", "decode"):
+            z = np.load(os.path.join(path, f"{name}_state.npz"))
+            self._state[name] = [jnp.asarray(z[k]) for k in sorted(
+                z.files, key=lambda s: int(s.split("_")[1]))]
+
+    def _call(self, name, x):
+        y, st = self._fns[name].call(self._state[name], jnp.asarray(x))
+        self._state[name] = list(st)
+        return y
+
+    def encode(self, audio):
+        """(B, chunk*ratio, 1) audio -> (B, chunk, z) latents."""
+        return self._call("encode", audio)
+
+    def decode(self, z):
+        """(B, chunk, z) latents -> (B, chunk*ratio, 1) audio (delayed by
+        manifest["decode_lag_frames"] latent frames on crossfade codecs)."""
+        return self._call("decode", z)
+
+
 class ExportedStreamer:
     """Python host for an exported artifact (mirrors what the C++ PJRT host
     does): holds flat state, calls the deserialized methods per buffer.

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from after_tpu.config import (AETrainConfig, AutoEncoderConfig,
-                              DiscriminatorConfig, get_config, to_json,
-                              with_overrides)
+                              DiscriminatorConfig, ae_to_json, get_config,
+                              to_json, with_overrides)
 from after_tpu.autoencoder import AutoencoderTrainer
 from after_tpu.dataset import (AudioExample, RecordReader, RecordWriter,
                                CombinedDataset, DataLoader, make_collate_fn)
@@ -107,7 +107,8 @@ def main():
     codec_dir = os.path.join(WORK, "codec")
     save_checkpoint(codec_dir, ae_state.step,
                     {"codec_vars": ae_state.codec_vars,
-                     "step": ae_state.step})
+                     "step": ae_state.step},
+                    config_json=ae_to_json(ae_cfg))
     log("codec trained + saved")
 
     # -- 3. latent dataset -------------------------------------------------

@@ -262,7 +262,7 @@ def test_crossfade_decoder_noncausal():
     y_off = np.asarray(codec.apply(variables, z, method=AudioCodec.decode))
 
     dec = CrossfadeDecoder(cfg, n_fade=4)
-    state = dec.init_state(1)
+    state = dec.init_state(variables, 1)
     outs = []
     for i in range(0, 64, 8):
         y, state = dec.decode(variables, state, z[:, i:i + 8])
@@ -276,3 +276,43 @@ def test_crossfade_decoder_noncausal():
     b = y_stream[0, lag + cfg.ratio * 8: lag + len(a) + cfg.ratio * 8, 0][:len(a)]
     err = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a ** 2)) + 1e-9)
     assert err < 0.35, f"crossfade decode too far from offline: rel rmse {err}"
+
+
+def test_crossfade_full_chain_noncausal():
+    """Context-window encode + crossfade decode of a norm-free non-causal
+    codec approximates the offline encode-decode (the tight quality bar for
+    the crossfade scheme; the GN variant's bound lives in test_export)."""
+    from after_tpu.streaming.crossfade import CrossfadeDecoder
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1,
+                            causal=False, use_norm=False)
+    codec = AudioCodec(cfg)
+    variables = jax.jit(codec.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, cfg.ratio * 64, 1)))
+    t = np.arange(64 * cfg.ratio) / 44100.0
+    audio = (0.3 * np.sin(2 * np.pi * 330 * t)
+             + 0.1 * np.sin(2 * np.pi * 110 * t)).astype(np.float32)
+    audio = audio[None, :, None]
+    z_off = codec.apply(variables, jnp.asarray(audio),
+                        method=AudioCodec.encode)
+    y_off = np.asarray(codec.apply(variables, z_off,
+                                   method=AudioCodec.decode))
+
+    dec = CrossfadeDecoder(cfg, n_fade=4, chunk_size=8)
+    enc_st = dec.init_encode_state(variables, 1)
+    dec_st = dec.init_state(variables, 1)
+    outs = []
+    A = 8 * cfg.ratio
+    for i in range(0, 64 * cfg.ratio, A):
+        z, enc_st = dec.encode(variables, enc_st,
+                               jnp.asarray(audio[:, i:i + A]))
+        y, dec_st = dec.decode(variables, dec_st, z)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=1)
+
+    lag = 4 * cfg.ratio
+    a = y_off[0, A: 48 * cfg.ratio, 0]
+    b = y_stream[0, lag + A: lag + A + len(a), 0]
+    err = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a ** 2)) + 1e-9)
+    assert err < 0.45, f"crossfade full chain too far from offline: {err}"
