@@ -122,18 +122,27 @@ def restore_checkpoint(model_dir: str, step: Optional[int] = None,
                         abstract[k] = cand
             try:
                 return ckptr.restore(path, abstract)
-            except Exception:
+            except (ValueError, TypeError, KeyError) as e:
                 # e.g. renamed modules with identical leaf shapes fooled
                 # the signature check: retry with the checkpoint's own
-                # structure, which always matches what was saved
+                # structure, which always matches what was saved.  IO-level
+                # failures (missing arrays, checksum errors) propagate
+                # as-is: a corrupted checkpoint must surface its real
+                # cause, not a downstream structure error.
+                print(f"[restore] target-structured restore failed "
+                      f"({type(e).__name__}: {e}); retrying with the "
+                      "checkpoint's recorded structure")
                 return ckptr.restore(path, abstract_of(tree))
         if target is not None:
             return ckptr.restore(
                 path, jax.tree_util.tree_map(from_value, target))
         try:
             return ckptr.restore(path, abstract_of(tree))
-        except Exception:
+        except (ValueError, TypeError) as e:
             # older orbax layouts: fall back to the recorded shardings
+            print(f"[restore] metadata-structured restore failed "
+                  f"({type(e).__name__}: {e}); retrying with the "
+                  "checkpoint's recorded shardings")
             return ckptr.restore(path)
 
 

@@ -173,3 +173,21 @@ print("PORTABLE_OK")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=600)
     assert r.returncode == 0 and "PORTABLE_OK" in r.stdout, r.stderr[-1500:]
+
+
+def test_corrupted_checkpoint_names_the_real_cause(tmp_path):
+    """VERDICT r2 #9: a genuinely corrupted checkpoint must raise an error
+    naming the corruption (DATA_LOSS / decoding failure), not a confusing
+    downstream structure/shape error from a silent broad-except fallback."""
+    import glob
+
+    tree = {"variables": {"net": {"params": {"w": jnp.ones((4, 4)),
+                                             "b": jnp.zeros((4,))}}},
+            "step": 3}
+    save_checkpoint(str(tmp_path), 3, tree)
+    for f in (glob.glob(str(tmp_path / "checkpoint_3" / "d" / "*"))
+              + glob.glob(str(tmp_path / "checkpoint_3" / "manifest.ocdbt"))):
+        open(f, "wb").write(b"corrupt")
+
+    with pytest.raises(Exception, match="DATA_LOSS|decod|manifest|corrupt"):
+        restore_checkpoint(str(tmp_path), 3)
