@@ -119,6 +119,22 @@ def main():
     dt_e2e = sorted(e2e)[len(e2e) // 2]
     log(f"bench: e2e per-call ms {[round(t * 1e3, 1) for t in sorted(e2e)]}")
 
+    # readback slimming A/B: int16 PCM cast on device -> 4x less data over
+    # the relay's slow device->host path (the deployed audio consumer)
+    to_pcm16 = jax.jit(
+        lambda x: (jnp.clip(x, -1, 1) * 32767.0).astype(jnp.int16))
+    _ = np.asarray(to_pcm16(out))
+    e2e16 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = pipe.transfer(variables, a, b, NB_STEPS, rng=keys[ki])
+        ki += 1
+        _ = np.asarray(to_pcm16(out))
+        e2e16.append(time.perf_counter() - t0)
+    dt_e2e16 = sorted(e2e16)[len(e2e16) // 2]
+    log(f"bench: e2e int16 per-call ms "
+        f"{[round(t * 1e3, 1) for t in sorted(e2e16)]}")
+
     audio_seconds = N_SAMPLES / SR
     rtf = audio_seconds / dt_device
     rec = {
@@ -130,6 +146,8 @@ def main():
         "device_ms_per_call": round(dt_device * 1e3, 2),
         "end_to_end_ms_per_call": round(dt_e2e * 1e3, 2),
         "end_to_end_rtf": round(audio_seconds / dt_e2e, 1),
+        "end_to_end_int16_ms_per_call": round(dt_e2e16 * 1e3, 2),
+        "end_to_end_int16_rtf": round(audio_seconds / dt_e2e16, 1),
     }
     if flops:
         rec["tflops_per_sec"] = round(flops / dt_device / 1e12, 2)
