@@ -35,7 +35,9 @@ import numpy as np
 # Persistent compilation cache: first-ever run pays ~5 min of XLA compiles
 # (large conv graphs); subsequent runs start in seconds.
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+                  os.environ.get("JAX_CACHE_DIR",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 

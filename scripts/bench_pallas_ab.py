@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+                  os.environ.get("JAX_CACHE_DIR",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import dataclasses

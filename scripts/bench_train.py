@@ -15,7 +15,9 @@ import json, os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+                  os.environ.get("JAX_CACHE_DIR",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 from after_tpu.config import get_config, with_overrides
 from after_tpu.diffusion.trainer import DiffusionTrainer

@@ -2,7 +2,11 @@
 import os, sys, subprocess, uuid
 sys.path.insert(0, "/root/repo")
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+import os
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp, numpy as np
 from after_tpu.config import get_config, with_overrides
