@@ -47,6 +47,11 @@ def build_argparser():
                    help="mixed-precision training compute dtype, e.g. "
                         "bfloat16 (2x MXU rate on v5e); master params, "
                         "optimizer, EMA and losses stay f32")
+    p.add_argument("--rng_impl", default=None,
+                   choices=["threefry2x128", "rbg"],
+                   help="PRNG for the training rng chain; rbg uses the "
+                        "TPU hardware generator (1.17x faster steps at "
+                        "B=64; random streams differ from threefry)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N steps "
                         "to <run>/profile (view in TensorBoard)")
@@ -131,6 +136,8 @@ def main(argv=None) -> int:
     if args.compute_dtype:
         cfg = with_overrides(cfg, {"train.compute_dtype":
                                    args.compute_dtype})
+    if args.rng_impl:
+        cfg = with_overrides(cfg, {"train.rng_impl": args.rng_impl})
 
     model_dir = os.path.join(args.out_path, args.name)
     os.makedirs(model_dir, exist_ok=True)

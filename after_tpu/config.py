@@ -214,6 +214,12 @@ class DiffusionTrainConfig:
     # master params / optimizer / EMA / losses / norm statistics stay f32
     # (flax norm layers compute stats in f32 internally). None = pure f32.
     compute_dtype: Optional[str] = None
+    # PRNG implementation for the training rng chain ("rbg" uses the TPU's
+    # hardware-friendly generator: measured 1.17x faster per step at B=64 —
+    # threefry dropout/noise masks cost ~14% of the step; random streams
+    # differ from the default threefry2x128, so runs are reproducible only
+    # within one impl). None = jax default (threefry2x128).
+    rng_impl: Optional[str] = None
 
 
 @dataclass(frozen=True)

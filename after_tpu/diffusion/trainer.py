@@ -448,7 +448,13 @@ class DiffusionTrainer:
         gradient collectives."""
         tc = self.tc
         max_steps = max_steps if max_steps is not None else tc.max_steps
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if rng is None:
+            # tc.rng_impl="rbg" switches the whole training rng chain (the
+            # impl rides the typed key through every split/fold_in) to the
+            # TPU hardware generator: 1.17x faster steps at B=64
+            # (PARITY.md)
+            rng = (jax.random.key(0, impl=tc.rng_impl)
+                   if tc.rng_impl else jax.random.PRNGKey(0))
         if mesh is not None:
             from ..parallel import global_batch_from_local
 

@@ -30,6 +30,10 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+if os.environ.get("PRNG_IMPL"):
+    # rbg uses the TPU's hardware RNG path: much cheaper per element than
+    # threefry for the dropout/noise masks the step generates
+    jax.config.update("jax_default_prng_impl", os.environ["PRNG_IMPL"])
 import optax
 
 from after_tpu.config import get_config, with_overrides

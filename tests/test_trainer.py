@@ -187,3 +187,21 @@ def test_training_with_scan_layers():
                        float(m["diffusion_loss"])))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+@pytest.mark.slow
+def test_rbg_rng_impl_training_steps():
+    """train.rng_impl='rbg' routes the whole training rng chain through the
+    TPU-friendly generator (1.17x faster steps at B=64, PARITY.md); the
+    loop must run and learn with the alternative key type end to end."""
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {"train.timbre_warmup": 100,
+                               "train.batch_size": 2,
+                               "train.rng_impl": "rbg"})
+    tr = DiffusionTrainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0), 2)
+    losses = []
+    state = tr.fit(state, synthetic_batches(3), max_steps=3,
+                   callback=lambda s, m: losses.append(m))
+    assert state.step == 3
+    assert all(np.isfinite(m["diffusion_loss"]) for m in losses)
