@@ -17,9 +17,28 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeat suite runs skip recompiling unchanged
 # graphs (the CPU suite is compile-dominated; same mechanism the TPU
-# benchmarks rely on, CLAUDE.md).
+# benchmarks rely on, CLAUDE.md).  The dir is fingerprinted by the host's
+# CPU flags: XLA:CPU AOT entries encode machine features (+avx512 etc.),
+# and loading an entry compiled on a previous session's different host can
+# SIGILL mid-test (observed as a segfault in the suite; the loader itself
+# warns "could lead to execution errors such as SIGILL").
+import hashlib
+
+
+def _cpu_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_tests"))
+                  os.path.expanduser(f"~/.cache/jax_tests_{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
