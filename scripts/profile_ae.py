@@ -1,0 +1,164 @@
+"""Codec generator-step decomposition (PARITY.md flags its 15% MFU as the
+next codec perf lever): where do the 335 ms at batch 8 x 131072 go?
+
+Components measured with the honest chained+readback method:
+
+  full       gen_step (codec fwd + MR-STFT + disc-gen term + backward + adam)
+  codec_fwd  AudioCodec forward only
+  mrstft     MR-STFT loss only (7 FFT scales + A-weighting prefilter)
+  disc_fwd   EncodecDiscriminator generator-loss forward only
+
+PARTS=... / B=... / NUM_SIGNAL=... env knobs; results accumulate in
+RESULTS_JSON like profile_train.py.
+"""
+import json, os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from after_tpu.autoencoder import AutoencoderTrainer
+from after_tpu.autoencoder.losses import multi_resolution_stft_loss
+from after_tpu.config import AETrainConfig, get_ae_config
+
+B = int(os.environ.get("B", "8"))
+N = int(os.environ.get("N", "5"))
+NUM_SIGNAL = int(os.environ.get("NUM_SIGNAL", "131072"))
+PARTS = os.environ.get("PARTS", "full,codec_fwd,mrstft,disc_fwd").split(",")
+RESULTS_JSON = os.environ.get("RESULTS_JSON",
+                              f"/tmp/after_profile_ae_b{B}.json")
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+ae_cfg = get_ae_config()
+tc = AETrainConfig(batch_size=B, num_signal=NUM_SIGNAL)
+trainer = AutoencoderTrainer(ae_cfg, tc)
+log(f"init B={B}...")
+state = trainer.init(jax.random.PRNGKey(0), B)
+rng = np.random.RandomState(0)
+x = jnp.asarray(0.1 * rng.randn(B, NUM_SIGNAL, 1).astype(np.float32))
+
+
+@jax.jit
+def codec_fwd_fn(codec_vars, x, rng):
+    y, yb, z, regloss, xb = trainer.codec.apply(
+        codec_vars, x, rng=rng, rngs={"noise": jax.random.fold_in(rng, 1)})
+    return jnp.sum(y) + regloss
+
+
+@jax.jit
+def mrstft_fn(x, y):
+    n = min(x.shape[1], y.shape[1])
+    return multi_resolution_stft_loss(x[:, :n], y[:, :n], trainer.tc,
+                                      trainer.cfg.sr)
+
+
+@jax.jit
+def disc_fwd_fn(disc_vars, x, y):
+    n = min(x.shape[1], y.shape[1])
+    loss_gen, _, _ = trainer.disc.apply(disc_vars, x[:, :n], y[:, :n])
+    return loss_gen
+
+
+def flops_of(jitted, *args, **kw):
+    try:
+        ca = jitted.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception as e:
+        log(f"cost_analysis failed: {e!r}")
+        return 0.0
+
+
+results = {}
+if os.path.exists(RESULTS_JSON):
+    results = json.load(open(RESULTS_JSON))
+
+
+def record(name, seconds, flops):
+    results[name] = {"ms": round(seconds * 1e3, 3), "flops": flops}
+    json.dump(results, open(RESULTS_JSON, "w"))
+    log(f"{name}: {seconds*1e3:.2f} ms"
+        + (f" ({flops/seconds/1e12:.1f} TFLOP/s)" if flops else ""))
+
+
+if "full" in PARTS:
+    gt = jax.tree_util.tree_map(
+        lambda a: jnp.copy(a) if hasattr(a, "shape") else a,
+        (state.codec_vars, state.disc_vars, state.opt_state))
+    fl = flops_of(type(trainer).gen_step, trainer, gt, x,
+                  jax.random.PRNGKey(1), True, 1.0, 0.1)
+    gt, m = trainer.gen_step(gt, x, jax.random.PRNGKey(1), True, 1.0, 0.1)
+    jax.block_until_ready(m["total_loss"])
+    best = []
+    for b in range(3):
+        t0 = time.perf_counter()
+        for i in range(N):
+            gt, m = trainer.gen_step(gt, x, jax.random.PRNGKey(i), True,
+                                     1.0, 0.1)
+        assert np.isfinite(float(jax.device_get(m["total_loss"])))
+        best.append((time.perf_counter() - t0) / N)
+    record("full", min(best), fl)
+
+y0 = None
+if {"codec_fwd", "mrstft", "disc_fwd"} & set(PARTS):
+    y0, *_ = trainer.codec.apply(state.codec_vars, x,
+                                 rng=jax.random.PRNGKey(9))
+    y0 = jax.block_until_ready(y0)
+
+if "codec_fwd" in PARTS:
+    fl = flops_of(codec_fwd_fn, state.codec_vars, x, jax.random.PRNGKey(1))
+    s = codec_fwd_fn(state.codec_vars, x, jax.random.PRNGKey(1))
+    jax.block_until_ready(s)
+    best = []
+    for b in range(3):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(N):
+            acc = codec_fwd_fn(state.codec_vars, x + 1e-12 * acc,
+                               jax.random.PRNGKey(i))
+        assert np.isfinite(float(jax.device_get(acc)))
+        best.append((time.perf_counter() - t0) / N)
+    record("codec_fwd", min(best), fl)
+
+if "mrstft" in PARTS:
+    fl = flops_of(mrstft_fn, x, y0)
+    s = mrstft_fn(x, y0)
+    jax.block_until_ready(s)
+    best = []
+    for b in range(3):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(N):
+            acc = mrstft_fn(x + 1e-12 * acc, y0)
+        assert np.isfinite(float(jax.device_get(acc)))
+        best.append((time.perf_counter() - t0) / N)
+    record("mrstft", min(best), fl)
+
+if "disc_fwd" in PARTS:
+    fl = flops_of(disc_fwd_fn, state.disc_vars, x, y0)
+    s = disc_fwd_fn(state.disc_vars, x, y0)
+    jax.block_until_ready(s)
+    best = []
+    for b in range(3):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(N):
+            acc = disc_fwd_fn(state.disc_vars, x + 1e-12 * acc, y0)
+        assert np.isfinite(float(jax.device_get(acc)))
+        best.append((time.perf_counter() - t0) / N)
+    record("disc_fwd", min(best), fl)
+
+print(json.dumps({"metric": "ae_gen_step_decomposition", "batch": B,
+                  "num_signal": NUM_SIGNAL,
+                  "parts_ms": {k: v["ms"] for k, v in results.items()},
+                  "parts_tflops": {
+                      k: round(v["flops"] / (v["ms"] / 1e3) / 1e12, 2)
+                      for k, v in results.items() if v["flops"]}}))
