@@ -18,19 +18,19 @@ from ..ops import stft as stft_ops
 
 
 def stft_magnitude(x: jnp.ndarray, n_fft: int, hop: int, win: int,
-                   eps: float = 1e-8) -> jnp.ndarray:
+                   eps: float = 1e-8, center: bool = True) -> jnp.ndarray:
     """(B, T) -> (B, frames, bins) magnitudes (torch.stft conventions)."""
-    z = stft_ops.stft(x, n_fft, hop, win)
+    z = stft_ops.stft(x, n_fft, hop, win, center=center)
     return jnp.sqrt(jnp.maximum(jnp.real(z) ** 2 + jnp.imag(z) ** 2, eps))
 
 
 def stft_loss(x: jnp.ndarray, y: jnp.ndarray, n_fft: int, hop: int, win: int,
               w_sc: float = 1.0, w_log_mag: float = 1.0,
-              w_lin_mag: float = 0.0) -> jnp.ndarray:
+              w_lin_mag: float = 0.0, center: bool = True) -> jnp.ndarray:
     """Single-scale loss: spectral convergence + log/linear magnitude L1
     (core.py:671-720).  x, y: (B, T) pre-filtered waveforms."""
-    x_mag = stft_magnitude(x, n_fft, hop, win)
-    y_mag = stft_magnitude(y, n_fft, hop, win)
+    x_mag = stft_magnitude(x, n_fft, hop, win, center=center)
+    y_mag = stft_magnitude(y, n_fft, hop, win, center=center)
     loss = 0.0
     if w_sc:
         sc = (jnp.linalg.norm(y_mag - x_mag, axis=(-2, -1))
@@ -53,11 +53,23 @@ def multi_resolution_stft_loss(x: jnp.ndarray, y: jnp.ndarray,
         taps = stft_ops.a_weighting_fir(sr)
         xw = stft_ops.fir_prefilter(xw, taps)
         yw = stft_ops.fir_prefilter(yw, taps)
+    # One shared reflect pad instead of a per-scale center pad: each scale
+    # slices its centered window out of the wide pad (numerically identical
+    # to center=True per scale), so the backward pays ONE pad-VJP scatter
+    # per signal instead of len(scales).
+    T = xw.shape[-1]
+    P = max(cfg.stft_fft_sizes) // 2
+    xp = jnp.pad(xw, [(0, 0)] * (xw.ndim - 1) + [(P, P)], mode="reflect")
+    yp = jnp.pad(yw, [(0, 0)] * (yw.ndim - 1) + [(P, P)], mode="reflect")
     total = 0.0
     for n_fft, hop, win in zip(cfg.stft_fft_sizes, cfg.stft_hop_sizes,
                                cfg.stft_win_lengths):
-        total += stft_loss(xw, yw, n_fft, hop, win, cfg.stft_w_sc,
-                           cfg.stft_w_log_mag, cfg.stft_w_lin_mag)
+        off = P - n_fft // 2
+        xs = xp[..., off:off + T + n_fft]
+        ys = yp[..., off:off + T + n_fft]
+        total += stft_loss(xs, ys, n_fft, hop, win, cfg.stft_w_sc,
+                           cfg.stft_w_log_mag, cfg.stft_w_lin_mag,
+                           center=False)
     return total / len(cfg.stft_fft_sizes)
 
 

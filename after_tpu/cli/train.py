@@ -249,8 +249,16 @@ def main(argv=None) -> int:
         print(f"[train] restarting from step {state.step} "
               f"(load_encoders={load_encoders})")
 
+    spc = max(int(cfg.train.steps_per_call or 1), 1)
+    if spc > 1:
+        for knob in ("steps_save", "steps_valid", "steps_display"):
+            if getattr(cfg.train, knob) % spc:
+                print(f"[train] warning: {knob}={getattr(cfg.train, knob)} "
+                      f"is not a multiple of steps_per_call={spc}; that "
+                      "cadence will not fire (steps advance in windows)")
+
     def callback(st, metrics):
-        logger.log(st.step, metrics)
+        logger.log(st.step, metrics, n_steps=spc)
         if st.step % cfg.train.steps_save == 0 and st.step > 0:
             save_checkpoint(model_dir, st.step, state_tree(st),
                             config_json=to_json(cfg))

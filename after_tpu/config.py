@@ -220,6 +220,12 @@ class DiffusionTrainConfig:
     # differ from the default threefry2x128, so runs are reproducible only
     # within one impl). None = jax default (threefry2x128).
     rng_impl: Optional[str] = None
+    # Steps fused into one XLA call (lax.scan over stacked batches): one
+    # dispatch per K steps keeps the device fed without per-step host round
+    # trips.  The callback then fires once per window with window-averaged
+    # metrics, so keep steps_save/steps_valid/steps_display multiples of K.
+    # 1 = classic per-step dispatch.
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

@@ -342,6 +342,15 @@ class DiffusionTrainer:
                    train_encoder: bool, train_encoder_time: bool,
                    use_cycle: bool, adversarial_weight,
                    regularisation_weight):
+        return self._train_step_body(state_tuple, batch, rng, phase1,
+                                     train_encoder, train_encoder_time,
+                                     use_cycle, adversarial_weight,
+                                     regularisation_weight)
+
+    def _train_step_body(self, state_tuple, batch, rng, phase1: bool,
+                         train_encoder: bool, train_encoder_time: bool,
+                         use_cycle: bool, adversarial_weight,
+                         regularisation_weight):
         variables, opt_state, ema = state_tuple
         main_params = self._main_params(variables)
 
@@ -385,6 +394,9 @@ class DiffusionTrainer:
     def classifier_step(self, state_tuple, batch, rng):
         """Adversarial classifier update (model.py:341-364): predict the
         timbre vector from (detached) structure codes."""
+        return self._classifier_step_body(state_tuple, batch, rng)
+
+    def _classifier_step_body(self, state_tuple, batch, rng):
         variables, cls_opt_state = state_tuple
         tc, rf = self.tc, self.rf
         ks = jax.random.split(rng, 3)
@@ -422,6 +434,85 @@ class DiffusionTrainer:
                                    "params": new_params, **upd}
         return (variables, cls_opt_state), {"classifier_loss": loss}
 
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7), donate_argnums=(1,))
+    def multi_step(self, state4, batches, per_step, phase1: bool,
+                   train_encoder: bool, train_encoder_time: bool,
+                   use_cycle: bool):
+        """K training steps in ONE XLA call: lax.scan over stacked batches,
+        lax.cond-ing each step between the diffusion and adversarial
+        classifier updates.
+
+        One device dispatch per K steps amortizes the host round trip the
+        sandbox relay makes visible (~16 ms floor, PARITY.md); on any real
+        host it keeps the device fed without per-step Python.  The
+        curriculum flags stay static: `fit` only scans windows that don't
+        cross a phase boundary.
+
+        state4 = (variables, opt_state, cls_opt_state, ema)
+        batches: dict of (K, B, ...) stacked arrays
+        per_step = (rngs (K,), is_cls (K,) bool, adv_w (K,), reg_w (K,))
+        Returns the updated state4 and window-averaged scalar metrics
+        (diffusion metrics averaged over diffusion steps, classifier_loss
+        over classifier steps, skipped_nonfinite = last running total).
+        """
+        rngs, is_cls, adv_ws, reg_ws = per_step
+
+        def diff_step(carry, batch, rng, adv_w, reg_w):
+            variables, opt_state, cls_opt_state, ema = carry
+            (v, o, e), m = self._train_step_body(
+                (variables, opt_state, ema), batch, rng, phase1,
+                train_encoder, train_encoder_time, use_cycle, adv_w, reg_w)
+            m = dict(m)
+            m.setdefault("classifier_loss", jnp.zeros((), jnp.float32))
+            return (v, o, cls_opt_state, e), m
+
+        def cls_step(carry, batch, rng, zeros):
+            variables, opt_state, cls_opt_state, ema = carry
+            (v, c), m = self._classifier_step_body(
+                (variables, cls_opt_state), batch, rng)
+            out = dict(zeros)
+            out["classifier_loss"] = m["classifier_loss"]
+            return (v, opt_state, c, ema), out
+
+        has_cls = self.rf.classifier is not None and not phase1
+
+        def one(carry, xs):
+            batch, rng, cls_flag, adv_w, reg_w = xs
+            if not has_cls:
+                return diff_step(carry, batch, rng, adv_w, reg_w)
+            # both lax.cond branches must return the same metrics tree:
+            # zero-fill the classifier branch from the diffusion template
+            mshapes = jax.eval_shape(
+                lambda c, b, r, a, g: diff_step(c, b, r, a, g)[1],
+                carry, batch, rng, adv_w, reg_w)
+            zeros = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mshapes)
+            return jax.lax.cond(
+                cls_flag,
+                lambda c: cls_step(c, batch, rng, zeros),
+                lambda c: diff_step(c, batch, rng, adv_w, reg_w),
+                carry)
+
+        state4, stacked = jax.lax.scan(
+            one, state4, (batches, rngs, is_cls, adv_ws, reg_ws))
+
+        k = is_cls.shape[0]
+        n_cls = jnp.sum(is_cls.astype(jnp.float32))
+        n_diff = jnp.maximum(k - n_cls, 1.0)
+        n_cls = jnp.maximum(n_cls, 1.0)
+
+        def avg(name, v):
+            if name == "skipped_nonfinite":
+                # running total from opt_state; classifier steps contribute
+                # zeros, so take the max, not the last element
+                return jnp.max(v, axis=0)
+            if name == "classifier_loss":
+                return jnp.sum(v, 0) / n_cls
+            return jnp.sum(v, 0) / n_diff
+
+        metrics = {name: avg(name, v) for name, v in stacked.items()}
+        return state4, metrics
+
     # ------------------------------------------------------------------
     # host loop
     # ------------------------------------------------------------------
@@ -445,7 +536,14 @@ class DiffusionTrainer:
         With ``mesh`` set (see parallel.shard_diffusion_state) each batch is
         sharded over the mesh's "data" axis — per-host local rows on
         multi-host pods — and the jitted steps run SPMD with XLA-placed
-        gradient collectives."""
+        gradient collectives.
+
+        With ``tc.steps_per_call = K > 1``, K consecutive steps run as ONE
+        XLA call (`multi_step`): the callback then fires once per window
+        with window-averaged metrics and a state K steps ahead, windows
+        never cross a curriculum boundary, and the per-step rng keys come
+        from one split(krng, K) instead of the sequential per-step chain
+        (random streams differ from K=1 runs)."""
         tc = self.tc
         max_steps = max_steps if max_steps is not None else tc.max_steps
         if rng is None:
@@ -458,11 +556,22 @@ class DiffusionTrainer:
         if mesh is not None:
             from ..parallel import global_batch_from_local
 
-        for batch in batches:
-            if state.step >= max_steps:
-                break
+        K = max(int(getattr(tc, "steps_per_call", 1) or 1), 1)
+        # windows draw extra batches from inside the loop: normalize to an
+        # iterator so a list argument can't replay its head
+        batches = iter(batches)
+        # curriculum boundaries the static multi_step flags must not cross
+        boundaries = sorted({tc.timbre_warmup, tc.cycle_start_step + 1,
+                             tc.stop_training_encoder_step + 1,
+                             tc.stop_training_encoder_time_step + 1,
+                             max_steps})
+
+        def window_clear(step):
+            return (step + K <= max_steps
+                    and not any(step < b < step + K for b in boundaries))
+
+        def one_step(state, batch, krng):
             step = state.step
-            rng, krng = jax.random.split(rng)
             phase1 = step < tc.timbre_warmup
             is_cls_step = (not phase1 and self.rf.classifier is not None
                            and step % tc.update_classifier_every != 0)
@@ -474,26 +583,93 @@ class DiffusionTrainer:
             if is_cls_step:
                 (variables, cls_opt), metrics = self.classifier_step(
                     (state.variables, state.cls_opt_state), batch, krng)
-                state = dataclasses.replace(
+                return dataclasses.replace(
                     state, variables=variables, cls_opt_state=cls_opt,
-                    step=step + 1)
-            else:
-                adv_w, reg_w = self.schedule_weights(step)
-                train_enc = (tc.train_encoder
-                             and step <= tc.stop_training_encoder_step)
-                train_enc_t = (tc.train_encoder_time
-                               and step <= tc.stop_training_encoder_time_step)
-                use_cycle = tc.cycle_consistency and step > tc.cycle_start_step
-                (variables, opt_state, ema), metrics = self.train_step(
-                    (state.variables, state.opt_state, state.ema_params),
-                    batch, krng, phase1, train_enc, train_enc_t, use_cycle,
-                    adv_w, reg_w)
-                state = dataclasses.replace(
-                    state, variables=variables, opt_state=opt_state,
-                    ema_params=ema, step=step + 1)
+                    step=step + 1), metrics
+            adv_w, reg_w = self.schedule_weights(step)
+            train_enc = (tc.train_encoder
+                         and step <= tc.stop_training_encoder_step)
+            train_enc_t = (tc.train_encoder_time
+                           and step <= tc.stop_training_encoder_time_step)
+            use_cycle = tc.cycle_consistency and step > tc.cycle_start_step
+            (variables, opt_state, ema), metrics = self.train_step(
+                (state.variables, state.opt_state, state.ema_params),
+                batch, krng, phase1, train_enc, train_enc_t, use_cycle,
+                adv_w, reg_w)
+            return dataclasses.replace(
+                state, variables=variables, opt_state=opt_state,
+                ema_params=ema, step=step + 1), metrics
 
+        for batch in batches:
+            if state.step >= max_steps:
+                break
+            step = state.step
+
+            if K > 1 and step % K == 0 and window_clear(step):
+                window = [batch]
+                for nxt in batches:
+                    window.append(nxt)
+                    if len(window) == K:
+                        break
+                rng, krng = jax.random.split(rng)
+                if len(window) == K:
+                    state, metrics = self._scan_window(state, window, krng,
+                                                       mesh)
+                    if callback is not None:
+                        callback(state, metrics)
+                    continue
+                # iterator ran dry mid-window: finish the tail single-step
+                for b in window:
+                    if state.step >= max_steps:
+                        break
+                    krng, k = jax.random.split(krng)
+                    state, metrics = one_step(state, b, k)
+                    if callback is not None:
+                        callback(state, metrics)
+                break
+
+            rng, krng = jax.random.split(rng)
+            state, metrics = one_step(state, batch, krng)
             if callback is not None:
                 # metrics stay as device arrays: converting would force a
                 # host sync every step (see MetricsLogger for lazy flush)
                 callback(state, metrics)
         return state
+
+    def _scan_window(self, state: DiffusionTrainState, window, krng, mesh):
+        """Stack K host batches and advance K steps via `multi_step`."""
+        tc = self.tc
+        step, K = state.step, len(window)
+        phase1 = step < tc.timbre_warmup
+        has_cls = self.rf.classifier is not None and not phase1
+        is_cls = np.array([has_cls and (step + i) % tc.update_classifier_every
+                           != 0 for i in range(K)], dtype=bool)
+        adv_reg = np.array([self.schedule_weights(step + i)
+                            for i in range(K)], dtype=np.float32)
+        train_enc = tc.train_encoder and step <= tc.stop_training_encoder_step
+        train_enc_t = (tc.train_encoder_time
+                       and step <= tc.stop_training_encoder_time_step)
+        use_cycle = tc.cycle_consistency and step > tc.cycle_start_step
+
+        stacked = {k: np.stack([np.asarray(b[k]) for b in window])
+                   for k in window[0]}
+        if mesh is not None:
+            from ..parallel import global_batch_from_local
+            # (K, B, ...) — batch rows ride the data axis, K stays unsharded
+            stacked = global_batch_from_local(stacked, mesh,
+                                              leading_stack=True)
+        else:
+            stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+        rngs = jax.random.split(krng, K)
+
+        state4, metrics = self.multi_step(
+            (state.variables, state.opt_state, state.cls_opt_state,
+             state.ema_params), stacked,
+            (rngs, jnp.asarray(is_cls), jnp.asarray(adv_reg[:, 0]),
+             jnp.asarray(adv_reg[:, 1])),
+            phase1, train_enc, train_enc_t, use_cycle)
+        variables, opt_state, cls_opt_state, ema = state4
+        return dataclasses.replace(
+            state, variables=variables, opt_state=opt_state,
+            cls_opt_state=cls_opt_state, ema_params=ema,
+            step=step + K), metrics

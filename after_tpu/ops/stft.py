@@ -24,10 +24,55 @@ def hann_window(win_length: int) -> np.ndarray:
     return (0.5 * (1 - np.cos(2 * np.pi * n / win_length))).astype(np.float32)
 
 
+# TPU FFTs run ~1 TFLOP/s while matmuls run near peak, so small DFTs are far
+# faster as windowed-DFT matmuls on the MXU (measured: the 7-scale MR-STFT
+# loss forward dropped from 35 ms to a few ms at batch 8 x 131072).  The
+# matrices cost n_fft*(n_fft//2+1)*2 floats, so cap the rewrite at 4096
+# (67 MB) and keep jnp.fft.rfft above that and as an opt-out.
+_MATMUL_DFT_MAX_NFFT = 4096
+_MATMUL_DFT_ENABLED = True
+_MATMUL_DFT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def use_matmul_dft(enable: bool) -> None:
+    """Globally toggle the matmul-DFT STFT path (A/B benchmarking hook)."""
+    global _MATMUL_DFT_ENABLED
+    _MATMUL_DFT_ENABLED = enable
+
+
+@lru_cache(maxsize=64)
+def _rdft_matrices(n_fft: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Real-input DFT of length n_fft as two (n_fft, n_fft//2+1) operands."""
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """(..., T) -> (..., n_frames, frame_length) via strided gather."""
+    """(..., T) -> (..., n_frames, frame_length).
+
+    When hop divides frame_length the overlapped frames are assembled from
+    ``r = frame_length // hop`` NON-overlapping strided reshapes (frame
+    t = r*j + k starts at j*frame_length + k*hop): slices + reshapes +
+    one stack, so the VJP is dense pads/adds.  The naive gather's VJP is a
+    scatter-add, which dominates the MR-STFT loss backward on TPU.
+    """
     T = x.shape[-1]
     n_frames = 1 + (T - frame_length) // hop
+    if frame_length % hop == 0:
+        r = frame_length // hop
+        m = -(-n_frames // r)
+        need = m * frame_length + (r - 1) * hop
+        if need > T:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - T)])
+        parts = [
+            x[..., k * hop:k * hop + m * frame_length].reshape(
+                x.shape[:-1] + (m, frame_length)) for k in range(r)
+        ]
+        frames = jnp.stack(parts, axis=-2)       # (..., m, r, frame_length)
+        frames = frames.reshape(x.shape[:-1] + (m * r, frame_length))
+        return frames[..., :n_frames, :]
     idx = np.arange(frame_length)[None, :] + hop * np.arange(n_frames)[:, None]
     return x[..., idx]
 
@@ -50,6 +95,16 @@ def stft(x: jnp.ndarray, n_fft: int, hop: int, win_length: Optional[int] = None,
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
     frames = frame_signal(x, n_fft, hop)
+    if _MATMUL_DFT_ENABLED and n_fft <= _MATMUL_DFT_MAX_NFFT:
+        # Windowed DFT as two MXU matmuls; the window folds into the trace-time
+        # numpy constants, and the VJP is matmuls instead of FFT transposes.
+        cos_m, sin_m = _rdft_matrices(n_fft)
+        win_col = np.asarray(window, dtype=np.float32)[:, None]
+        re = jnp.einsum("...tf,fk->...tk", frames, jnp.asarray(win_col * cos_m),
+                        precision=_MATMUL_DFT_PRECISION)
+        im = jnp.einsum("...tf,fk->...tk", frames, jnp.asarray(win_col * sin_m),
+                        precision=_MATMUL_DFT_PRECISION)
+        return jax.lax.complex(re, im)
     frames = frames * jnp.asarray(window)
     return jnp.fft.rfft(frames, axis=-1)
 

@@ -71,11 +71,15 @@ def host_shard_kwargs(global_batch_size: int) -> Dict[str, Any]:
 
 
 def global_batch_from_local(local_batch: Any, mesh: Mesh,
-                            axis: str = "data") -> Any:
+                            axis: str = "data",
+                            leading_stack: bool = False) -> Any:
     """Assemble per-host numpy batches into global jax.Arrays sharded over
     `axis`.  Each process contributes its local rows; no host gathers the
-    full batch."""
-    sharding = NamedSharding(mesh, P(axis))
+    full batch.  With ``leading_stack`` the arrays are (K, B, ...) stacks of
+    K batches (trainer `steps_per_call` windows): the batch axis is dim 1
+    and the K scan axis stays unsharded."""
+    sharding = NamedSharding(mesh, P(None, axis) if leading_stack
+                             else P(axis))
 
     def put(x):
         x = np.asarray(x)

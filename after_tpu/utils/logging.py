@@ -45,12 +45,15 @@ class MetricsLogger:
         self._t_last = time.perf_counter()
         self._steps_since = 0
 
-    def log(self, step: int, metrics: Dict[str, float]) -> None:
+    def log(self, step: int, metrics: Dict[str, float],
+            n_steps: int = 1) -> None:
         # values may be device arrays; keep them lazy — only flush() forces
         # the host sync, so training dispatch stays async between flushes
+        # n_steps > 1: the metrics summarize a trainer steps_per_call window
+        # (steps_per_sec accounting stays correct)
         for k, v in metrics.items():
             self._pending.setdefault(k, []).append(v)
-        self._steps_since += 1
+        self._steps_since += n_steps
         if step % self.flush_every == 0 and step > 0:
             self.flush(step)
 

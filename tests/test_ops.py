@@ -194,6 +194,35 @@ def test_stft_matches_torch():
         np.testing.assert_allclose(np.asarray(z), zt, atol=2e-3)
 
 
+def test_matmul_dft_matches_fft():
+    """The MXU windowed-DFT matmul path == jnp.fft.rfft, values and grads.
+
+    The matmul rewrite (stft._MATMUL_DFT_ENABLED) is the default for
+    n_fft <= 4096 because TPU FFTs run ~1 TFLOP/s; it must stay bit-close to
+    the FFT it replaces (torch.stft conventions, reference core.py:508-813).
+    """
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 4096).astype(np.float32))
+
+    def loss(x, n_fft, hop):
+        return jnp.sum(jnp.abs(stft.stft(x, n_fft, hop)))
+
+    for n_fft, hop in [(32, 8), (256, 64), (2048, 512)]:
+        try:
+            stft.use_matmul_dft(True)
+            za = stft.stft(x, n_fft, hop)
+            ga = jax.grad(loss)(x, n_fft, hop)
+            stft.use_matmul_dft(False)
+            zb = stft.stft(x, n_fft, hop)
+            gb = jax.grad(loss)(x, n_fft, hop)
+        finally:
+            stft.use_matmul_dft(True)
+        scale = float(jnp.max(jnp.abs(zb)))
+        np.testing.assert_allclose(np.asarray(za), np.asarray(zb),
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-4 * float(jnp.max(jnp.abs(gb))))
+
+
 def test_mel_matches_torchaudio_fb():
     torchaudio = pytest.importorskip("torchaudio")
     import torch

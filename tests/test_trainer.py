@@ -106,6 +106,86 @@ def test_phase2_with_classifier_and_cycle():
 
 
 @pytest.mark.slow
+def test_multi_step_window_matches_single_steps():
+    """One multi_step window (lax.scan + per-step lax.cond) must reproduce
+    the same K single-jit steps with identical per-step rng keys — the
+    steps_per_call fast path may not change training semantics."""
+    cfg = with_overrides(micro_config(), {
+        "train.timbre_warmup": 0,
+        "train.update_classifier_every": 3,
+    })
+    tr = DiffusionTrainer(cfg)
+    # adam's sign-normalized updates amplify f32 fusion drift on near-zero
+    # grads to lr scale, which would mask real wiring bugs; SGD keeps the
+    # comparison linear in the grads, so equality is tight
+    import optax
+    tr.optimizer = optax.apply_if_finite(optax.sgd(1e-2), 6)
+    tr.cls_optimizer = optax.apply_if_finite(optax.sgd(1e-2), 6)
+    state = tr.init(jax.random.PRNGKey(0), 2)
+    batches = list(synthetic_batches(3))
+    krng = jax.random.PRNGKey(7)
+    ks = jax.random.split(krng, 3)
+
+    # the single-step jits donate their inputs: give the reference pass its
+    # own buffers so `state` stays alive for the scan pass below
+    ref = dataclasses.replace(
+        state,
+        variables=jax.tree_util.tree_map(jnp.copy, state.variables),
+        opt_state=jax.tree_util.tree_map(jnp.copy, state.opt_state),
+        cls_opt_state=jax.tree_util.tree_map(jnp.copy, state.cls_opt_state),
+        ema_params=jax.tree_util.tree_map(jnp.copy, state.ema_params))
+    for i in range(3):
+        b = {k: jnp.asarray(v) for k, v in batches[i].items()}
+        step = ref.step
+        if step % 3 != 0:  # classifier step
+            (variables, cls_opt), _ = tr.classifier_step(
+                (ref.variables, ref.cls_opt_state), b, ks[i])
+            ref = dataclasses.replace(ref, variables=variables,
+                                      cls_opt_state=cls_opt, step=step + 1)
+        else:
+            adv_w, reg_w = tr.schedule_weights(step)
+            (variables, opt_state, ema), _ = tr.train_step(
+                (ref.variables, ref.opt_state, ref.ema_params), b, ks[i],
+                False, True, True, False, adv_w, reg_w)
+            ref = dataclasses.replace(ref, variables=variables,
+                                      opt_state=opt_state, ema_params=ema,
+                                      step=step + 1)
+
+    out, metrics = tr._scan_window(state, batches, krng, None)
+    assert out.step == 3
+    for name, a, b in (("variables", out.variables, ref.variables),
+                       ("ema", out.ema_params, ref.ema_params)):
+        # scan+cond fuses differently than the separate jits, so allow f32
+        # drift; with SGD a wiring bug (wrong rng/branch/batch) would show
+        # at grad scale, far above this tolerance
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5), a, b)
+    assert np.isfinite(float(metrics["diffusion_loss"]))
+    assert np.isfinite(float(metrics["classifier_loss"]))
+
+
+@pytest.mark.slow
+def test_fit_steps_per_call_windows_and_boundaries():
+    """fit with steps_per_call=2: scans aligned windows, falls back to
+    single steps across the phase boundary, and the callback sees steps
+    advance in window increments."""
+    cfg = with_overrides(micro_config(), {
+        "train.timbre_warmup": 3,          # boundary inside [2, 4)
+        "train.update_classifier_every": 2,
+        "train.steps_per_call": 2,
+    })
+    tr = DiffusionTrainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0), 2)
+    seen = []
+    state = tr.fit(state, synthetic_batches(7), max_steps=7,
+                   callback=lambda s, m: seen.append(s.step))
+    assert state.step == 7
+    # [0,2) scanned; 2,3 single (boundary at 3); [4,6) scanned; 6 single
+    assert seen == [2, 3, 4, 6, 7]
+
+
+@pytest.mark.slow
 def test_params_change_and_net_only_in_phase1_frozen_encoders():
     cfg = micro_config()
     cfg = with_overrides(cfg, {"train.timbre_warmup": 100,
