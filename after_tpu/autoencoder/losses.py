@@ -18,19 +18,23 @@ from ..ops import stft as stft_ops
 
 
 def stft_magnitude(x: jnp.ndarray, n_fft: int, hop: int, win: int,
-                   eps: float = 1e-8, center: bool = True) -> jnp.ndarray:
+                   eps: float = 1e-8, center: bool = True,
+                   dft_dtype=None) -> jnp.ndarray:
     """(B, T) -> (B, frames, bins) magnitudes (torch.stft conventions)."""
-    z = stft_ops.stft(x, n_fft, hop, win, center=center)
+    z = stft_ops.stft(x, n_fft, hop, win, center=center, dft_dtype=dft_dtype)
     return jnp.sqrt(jnp.maximum(jnp.real(z) ** 2 + jnp.imag(z) ** 2, eps))
 
 
 def stft_loss(x: jnp.ndarray, y: jnp.ndarray, n_fft: int, hop: int, win: int,
               w_sc: float = 1.0, w_log_mag: float = 1.0,
-              w_lin_mag: float = 0.0, center: bool = True) -> jnp.ndarray:
+              w_lin_mag: float = 0.0, center: bool = True,
+              dft_dtype=None) -> jnp.ndarray:
     """Single-scale loss: spectral convergence + log/linear magnitude L1
     (core.py:671-720).  x, y: (B, T) pre-filtered waveforms."""
-    x_mag = stft_magnitude(x, n_fft, hop, win, center=center)
-    y_mag = stft_magnitude(y, n_fft, hop, win, center=center)
+    x_mag = stft_magnitude(x, n_fft, hop, win, center=center,
+                           dft_dtype=dft_dtype)
+    y_mag = stft_magnitude(y, n_fft, hop, win, center=center,
+                           dft_dtype=dft_dtype)
     loss = 0.0
     if w_sc:
         sc = (jnp.linalg.norm(y_mag - x_mag, axis=(-2, -1))
@@ -61,6 +65,10 @@ def multi_resolution_stft_loss(x: jnp.ndarray, y: jnp.ndarray,
     P = max(cfg.stft_fft_sizes) // 2
     xp = jnp.pad(xw, [(0, 0)] * (xw.ndim - 1) + [(P, P)], mode="reflect")
     yp = jnp.pad(yw, [(0, 0)] * (yw.ndim - 1) + [(P, P)], mode="reflect")
+    # opt-in: DFT matmuls with bf16 operands + f32 accumulation (2x MXU
+    # rate; ~0.4% input quantization on the windowed frames, magnitudes and
+    # all loss math stay f32)
+    dd = (jnp.bfloat16 if getattr(cfg, "stft_bf16_dft", False) else None)
     total = 0.0
     for n_fft, hop, win in zip(cfg.stft_fft_sizes, cfg.stft_hop_sizes,
                                cfg.stft_win_lengths):
@@ -69,7 +77,7 @@ def multi_resolution_stft_loss(x: jnp.ndarray, y: jnp.ndarray,
         ys = yp[..., off:off + T + n_fft]
         total += stft_loss(xs, ys, n_fft, hop, win, cfg.stft_w_sc,
                            cfg.stft_w_log_mag, cfg.stft_w_lin_mag,
-                           center=False)
+                           center=False, dft_dtype=dd)
     return total / len(cfg.stft_fft_sizes)
 
 

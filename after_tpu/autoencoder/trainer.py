@@ -27,6 +27,7 @@ import optax
 from ..config import AETrainConfig, AutoEncoderConfig, DiscriminatorConfig
 from ..models.autoencoder import AudioCodec
 from ..models.discriminator import EncodecDiscriminator
+from ..utils.precision import cast_floating, resolve_dtype
 from .losses import multi_resolution_stft_loss, spectral_distance
 
 
@@ -47,6 +48,14 @@ class AutoencoderTrainer:
         self.cfg = ae_cfg
         self.tc = train_cfg or AETrainConfig()
         self.dcfg = disc_cfg or DiscriminatorConfig()
+        # mixed precision: codec + discriminator run at tc.compute_dtype
+        # (bf16 = 2x MXU rate; the EncodecDiscriminator forward measures
+        # near the f32 roofline, so it is MXU-rate-limited).  Master params
+        # and both optimizers stay f32 — params are cast INSIDE the
+        # differentiated loss so grads accumulate in f32 — and all loss
+        # math runs f32 on upcast activations.
+        self.compute_dtype = resolve_dtype(getattr(self.tc, "compute_dtype",
+                                                   None))
         self.codec = AudioCodec(ae_cfg)
         if self.dcfg.kind == "descript":
             from ..models.descript_discriminator import DescriptDiscriminator
@@ -99,16 +108,23 @@ class AutoencoderTrainer:
     @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
     def gen_step(self, state_tuple, x, rng, use_gan: bool, w_wave, w_reg):
         codec_vars, disc_vars, opt_state = state_tuple
+        cd = self.compute_dtype
 
         def loss_fn(params):
-            cv = {**codec_vars, "params": params}
+            cv = {**codec_vars, "params": params if cd is None
+                  else cast_floating(params, cd)}
             # rngs={'noise': ...}: without it the NoiseGenerator falls back
             # to a FIXED key and synthesises the identical noise realisation
             # every step (the GAN would learn against a frozen noise signal)
             y, yb, z, regloss, xb = self.codec.apply(
-                cv, x, rng=rng, rngs={"noise": jax.random.fold_in(rng, 1)})
+                cv, x if cd is None else x.astype(cd),
+                rng=rng, rngs={"noise": jax.random.fold_in(rng, 1)})
+            regloss = regloss.astype(jnp.float32)
             n = min(x.shape[1], y.shape[1])
-            xa, ya = x[:, :n], y[:, :n]
+            # loss math in f32: xa from the f32 input, ya upcast (the bf16
+            # quantization happened inside the codec; the STFT/log/L1 math
+            # itself must not run at 8-bit mantissa)
+            xa, ya = x[:, :n], y[:, :n].astype(jnp.float32)
             mrstft = multi_resolution_stft_loss(xa, ya, self.tc, self.cfg.sr)
             loss = w_wave * mrstft + w_reg * regloss
             metrics = {"mrstft": mrstft, "regularisation_loss": regloss}
@@ -119,9 +135,15 @@ class AutoencoderTrainer:
                 loss = loss + w_wave * self.tc.spectral_distance_weight * sd
                 metrics["spectral_distance"] = sd
             if use_gan:
-                loss_gen, _, dmetrics = self.disc.apply(disc_vars, xa, ya)
-                loss = loss + loss_gen
-                metrics.update({k: v for k, v in dmetrics.items()
+                dv = (disc_vars if cd is None
+                      else {**disc_vars,
+                            "params": cast_floating(disc_vars["params"], cd)})
+                loss_gen, _, dmetrics = self.disc.apply(
+                    dv, xa if cd is None else xa.astype(cd),
+                    y[:, :n])
+                loss = loss + loss_gen.astype(jnp.float32)
+                metrics.update({k: v.astype(jnp.float32)
+                                for k, v in dmetrics.items()
                                 if k in ("feature_matching", "adversarial")})
             metrics["total_loss"] = loss
             return loss, metrics
@@ -138,16 +160,23 @@ class AutoencoderTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def disc_step(self, state_tuple, x, rng):
         codec_vars, disc_vars, disc_opt_state = state_tuple
-        y, *_ = self.codec.apply(codec_vars, x, rng=rng,
+        cd = self.compute_dtype
+        cv = (codec_vars if cd is None
+              else {**codec_vars,
+                    "params": cast_floating(codec_vars["params"], cd)})
+        y, *_ = self.codec.apply(cv, x if cd is None else x.astype(cd),
+                                 rng=rng,
                                  rngs={"noise": jax.random.fold_in(rng, 1)})
         y = jax.lax.stop_gradient(y)
         n = min(x.shape[1], y.shape[1])
-        xa, ya = x[:, :n], y[:, :n]
+        xa = x[:, :n] if cd is None else x[:, :n].astype(cd)
+        ya = y[:, :n]
 
         def loss_fn(dparams):
-            dv = {**disc_vars, "params": dparams}
+            dv = {**disc_vars, "params": dparams if cd is None
+                  else cast_floating(dparams, cd)}
             _, loss_dis, metrics = self.disc.apply(dv, xa, ya)
-            return loss_dis, metrics
+            return loss_dis.astype(jnp.float32), metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             disc_vars["params"])

@@ -261,6 +261,16 @@ class AETrainConfig:
     spectral_distance_weight: float = 0.0
     spectral_scales: Tuple[int, ...] = (2048, 1024, 512, 256)
     spectral_mels: Tuple[int, ...] = (320, 160, 80, 40)
+    # mixed precision: codec + discriminator forward/backward at this dtype
+    # ("bfloat16"); master params/optimizers stay f32 and all loss math is
+    # computed in f32 on upcast activations (see AutoencoderTrainer).
+    compute_dtype: Optional[str] = None
+    # MR-STFT DFT matmuls with bf16 operands + f32 accumulation (2x MXU
+    # rate; magnitude/log math stays f32).  CAVEAT: the bf16 input
+    # quantization puts an absolute noise FLOOR under the loss (~0.04 on a
+    # synthetic micro case) that dominates once reconstructions get within
+    # ~1% of the target — a late-training fidelity ceiling, so opt-in.
+    stft_bf16_dft: bool = False
 
 
 # ---------------------------------------------------------------------------

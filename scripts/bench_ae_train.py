@@ -34,7 +34,8 @@ def log(m):
 
 
 ae_cfg = get_ae_config()
-tc = AETrainConfig(batch_size=B, num_signal=NUM_SIGNAL)
+tc = AETrainConfig(batch_size=B, num_signal=NUM_SIGNAL,
+                   compute_dtype=os.environ.get("COMPUTE_DTYPE") or None)
 trainer = AutoencoderTrainer(ae_cfg, tc)
 log(f"init B={B} num_signal={NUM_SIGNAL}...")
 t0 = time.perf_counter()
@@ -56,7 +57,8 @@ def flops_of(bound, *args, **kw):
         return 0.0
 
 
-out = {"metric": "ae_train_step", "batch": B, "num_signal": NUM_SIGNAL}
+out = {"metric": "ae_train_step", "batch": B, "num_signal": NUM_SIGNAL,
+       "compute_dtype": os.environ.get("COMPUTE_DTYPE", "f32")}
 
 # generator step (post-warmup form: GAN terms on)
 gt = (state.codec_vars, state.disc_vars, state.opt_state)

@@ -30,7 +30,8 @@ def log(m):
 
 
 ae_cfg = get_ae_config()
-tc = AETrainConfig(batch_size=B, num_signal=NUM_SIGNAL)
+tc = AETrainConfig(batch_size=B, num_signal=NUM_SIGNAL,
+                   stft_bf16_dft=os.environ.get("BF16_DFT", "0") != "0")
 rng = np.random.RandomState(0)
 x = jnp.asarray(0.1 * rng.randn(B, NUM_SIGNAL, 1).astype(np.float32))
 y = jnp.asarray(0.1 * rng.randn(B, NUM_SIGNAL, 1).astype(np.float32))

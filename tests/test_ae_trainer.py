@@ -100,3 +100,34 @@ def test_ae_full_state_resume_bit_exact(tmp_path):
         for la, lb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
                                           err_msg=name)
+
+
+@pytest.mark.slow
+def test_ae_bf16_compute_dtype():
+    """compute_dtype="bfloat16": both GAN steps stay finite, master params
+    stay f32, and the warmup gen-step losses track the f32 run (loss math is
+    f32 on upcast activations; only the networks run bf16)."""
+    ae, tc, dc = micro_ae()
+    tc16 = dataclasses.replace(tc, compute_dtype="bfloat16")
+    tr32 = AutoencoderTrainer(ae, tc, dc)
+    tr16 = AutoencoderTrainer(ae, tc16, dc)
+    state32 = tr32.init(jax.random.PRNGKey(0), 1)
+    state16 = tr16.init(jax.random.PRNGKey(0), 1)
+
+    log32, log16 = [], []
+    state32 = tr32.fit(state32, batches(6), max_steps=6,
+                       callback=lambda s, m: log32.append(m))
+    state16 = tr16.fit(state16, batches(6), max_steps=6,
+                       callback=lambda s, m: log16.append(m))
+    assert state16.step == 6
+    for leaf in jax.tree_util.tree_leaves(state16.codec_vars["params"]):
+        assert leaf.dtype == np.float32
+    for leaf in jax.tree_util.tree_leaves(state16.disc_vars["params"]):
+        assert leaf.dtype == np.float32
+    for m in log16:
+        for v in m.values():
+            assert np.isfinite(float(v))
+    # first (warmup, pre-GAN) step: same batch, same rng chain -> the bf16
+    # mrstft should sit within bf16 quantization of the f32 one
+    a, b = float(log32[0]["mrstft"]), float(log16[0]["mrstft"])
+    assert abs(a - b) / max(abs(a), 1e-6) < 0.05
