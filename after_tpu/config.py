@@ -245,6 +245,12 @@ class AETrainConfig:
     warmup_regularisation_loss: int = 100_000
     grad_clip: float = 2.0
     grad_clip_disc: float = 2.0
+    # disc_step: one [x ‖ y] conv chain per scale instead of two (identical
+    # math; grads flow through both chains there anyway). Measured SLOWER
+    # on v5e at B=8 (one-process A/B: 202.8 vs 181.4 ms = 0.89x — the disc
+    # convs already fill the MXU and the 2B concat costs HBM), so the split
+    # form stays default; lever for genuinely small-batch configs.
+    disc_batched: bool = False
     steps_display: int = 100
     steps_valid: int = 10_000
     steps_save: int = 50_000

@@ -135,17 +135,32 @@ class DescriptDiscriminator(nn.Module):
         return 0.8 * y / (jnp.max(jnp.abs(y), axis=1, keepdims=True) + 1e-9)
 
     @nn.compact
-    def __call__(self, x, y):
-        """x true, y fake -> (loss_gen, loss_dis, metrics)."""
+    def __call__(self, x, y, batched: bool = False):
+        """x true, y fake -> (loss_gen, loss_dis, metrics).
+
+        ``batched=True`` runs each sub-discriminator once over [x ‖ y]
+        (identical per-example math, one conv chain at 2B); use it only in
+        the discriminator step — the generator backward only needs the y
+        chain (see EncodecDiscriminator).
+        """
+        B = x.shape[0]
         x = self._preprocess(x)
         y = self._preprocess(y)
+        if batched:
+            t = min(x.shape[1], y.shape[1])
+            xy = jnp.concatenate([x[:, :t], y[:, :t]], axis=0)
         discs = ([MPD(p, name=f"mpd_{p}") for p in self.periods]
                  + [MSD(r, name=f"msd_{r}") for r in self.rates]
                  + [MRD(f, name=f"mrd_{f}") for f in self.fft_sizes])
         fm, dis_loss, adv_loss, pred_real, pred_fake = 0., 0., 0., 0., 0.
         for d in discs:
-            fr = d(x)
-            ff = d(y)
+            if batched:
+                frf = d(xy)
+                fr = [f[:B] for f in frf]
+                ff = [f[B:] for f in frf]
+            else:
+                fr = d(x)
+                ff = d(y)
             ns = self.num_skipped_features
             cur = sum(jnp.mean(jnp.abs(a - b))
                       for a, b in zip(fr[ns:], ff[ns:])) / len(fr[ns:])

@@ -87,7 +87,8 @@ class EncodecDiscriminator(nn.Module):
     cfg: DiscriminatorConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, y: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray,
+                 batched: bool = False):
         cfg = self.cfg
         dis_loss = 0.0
         adv_loss = 0.0
@@ -96,12 +97,30 @@ class EncodecDiscriminator(nn.Module):
         pred_fake = 0.0
         n = len(cfg.n_ffts)
 
+        B = x.shape[0]
+        t = min(x.shape[1], y.shape[1])
+        # batched=True runs each scale once over [x ‖ y] instead of two
+        # separate conv chains — per-example ops make it mathematically
+        # identical, with one kernel chain at 2B batch instead of two at B.
+        # Only the DISCRIMINATOR step should use it: its backward needs both
+        # chains anyway (grads w.r.t. disc params), so batching is
+        # FLOP-neutral and utilization-positive.  The GENERATOR step must
+        # keep the split form: its backward flows only through the y chain,
+        # and a concatenated graph would pay the x-half cotangents too.
+        if batched:
+            xy = jnp.concatenate([x[:, :t], y[:, :t]], axis=0)
         for i in range(n):
             disc = DiscriminatorSTFT(cfg.filters, cfg.n_ffts[i],
                                      cfg.hop_lengths[i], cfg.win_lengths[i],
                                      cfg.spec_scale_pow, name=f"disc_{i}")
-            logit_t, fmap_t = disc(x)
-            logit_f, fmap_f = disc(y)
+            if batched:
+                logits, fmaps = disc(xy)
+                logit_t, logit_f = logits[:B], logits[B:]
+                fmap_t = [f[:B] for f in fmaps]
+                fmap_f = [f[B:] for f in fmaps]
+            else:
+                logit_t, fmap_t = disc(x)
+                logit_f, fmap_f = disc(y)
 
             # hinge GAN (encodec_discriminator.py:24)
             dis_loss += jnp.mean(nn.relu(1 - logit_t) + nn.relu(1 + logit_f))

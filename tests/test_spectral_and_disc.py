@@ -49,6 +49,41 @@ def test_cqt_peaks_at_tone_frequency():
     assert abs(peak_bin - expected) <= 1
 
 
+def test_encodec_discriminator_batched_equals_split():
+    """batched=True (one [x ‖ y] pass per scale, used by disc_step) must give
+    the same losses and grads as the split form the gen step uses."""
+    from after_tpu.config import DiscriminatorConfig
+    from after_tpu.models.discriminator import EncodecDiscriminator
+
+    cfg = DiscriminatorConfig(filters=8, n_ffts=(128, 256),
+                              hop_lengths=(64, 128), win_lengths=(128, 256))
+    disc = EncodecDiscriminator(cfg)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 4096, 1))
+    y = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (2, 4096, 1))
+    variables = disc.init(jax.random.PRNGKey(2), x, y)
+
+    def dis_loss(params, batched):
+        _, ld, _ = disc.apply({"params": params}, x, y, batched=batched)
+        return ld
+
+    g_split, ld_split = (jax.grad(dis_loss)(variables["params"], False),
+                         dis_loss(variables["params"], False))
+    g_batch, ld_batch = (jax.grad(dis_loss)(variables["params"], True),
+                         dis_loss(variables["params"], True))
+    np.testing.assert_allclose(float(ld_split), float(ld_batch), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_split),
+            jax.tree_util.tree_leaves_with_path(g_batch)):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    lg_split, _, m_split = disc.apply(variables, x, y)
+    lg_batch, _, m_batch = disc.apply(variables, x, y, batched=True)
+    np.testing.assert_allclose(float(lg_split), float(lg_batch), rtol=1e-5)
+    np.testing.assert_allclose(float(m_split["feature_matching"]),
+                               float(m_batch["feature_matching"]), rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_descript_discriminator():
     from after_tpu.models.descript_discriminator import DescriptDiscriminator
@@ -59,3 +94,7 @@ def test_descript_discriminator():
     loss_gen, loss_dis, metrics = disc.apply(variables, x, y)
     assert np.isfinite(float(loss_gen)) and np.isfinite(float(loss_dis))
     assert "feature_matching" in metrics
+    # batched disc_step path matches the split form
+    lg_b, ld_b, _ = disc.apply(variables, x, y, batched=True)
+    np.testing.assert_allclose(float(loss_dis), float(ld_b), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_gen), float(lg_b), rtol=1e-5)
