@@ -55,6 +55,21 @@ class DenoiserConfig:
     # ("blocks" with a leading layer axis) — use
     # models.denoiser.stack_block_params to convert per-block_i params.
     scan_layers: bool = False
+    # Backbone selection, mirroring the reference's gin-selectable net slot
+    # (base.gin binds @DenoiserV2; transformer.py:555 Denoiser v1 and
+    # unet1d.py:255 UNET1D are the alternatives). "unet1d" is offline-only
+    # (same as the reference — its conv UNet has no streaming caches).
+    arch: str = "v2"                # "v2" | "v1" | "unet1d"
+    # v1 knobs (transformer.py:452,585,289; see models/denoiser_v1.py)
+    v1_tcond_mode: str = "cross_attention"   # "cross_attention" | "adaln"
+    v1_temporal_noise: bool = False
+    v1_mlp_type: str = "mlp"                  # "mlp" | "sep_conv"
+    v1_cross_attn_causal: bool = False
+    # unet1d knobs (unet1d.py:255-296)
+    unet_channels: Tuple[int, ...] = (128, 128, 256, 256)
+    unet_ratios: Tuple[int, ...] = (2, 2, 2, 2)
+    unet_kernel_size: int = 5
+    unet_time_cond_channels: int = 64
 
 
 @dataclass(frozen=True)

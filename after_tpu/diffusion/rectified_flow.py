@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AfterConfig
-from ..models import Denoiser, ECAPAEncoder, Encoder1D
+from ..models import ECAPAEncoder, Encoder1D, make_denoiser
 from ..utils.precision import cast_floating
 
 
@@ -41,8 +41,10 @@ class RectifiedFlow:
 
     def __init__(self, cfg: AfterConfig):
         self.cfg = cfg
-        self.net = Denoiser(cfg.denoiser)
-        self.net_stream = Denoiser(cfg.denoiser, streaming=True)
+        # gin-selectable backbone slot (base.gin net=@DenoiserV2; v1/unet1d
+        # alternatives) — net_stream is None for offline-only backbones.
+        self.net = make_denoiser(cfg.denoiser)
+        self.net_stream = make_denoiser(cfg.denoiser, streaming=True)
         self.encoder = ECAPAEncoder(cfg.encoder)
         self.encoder_time = (Encoder1D(cfg.encoder_time)
                              if cfg.encoder_time is not None else None)
@@ -176,6 +178,10 @@ class RectifiedFlow:
         full_tcond = jnp.concatenate([time_cond, time_cond, null_tc], axis=0)
 
         if cache is not None:
+            if self.net_stream is None:
+                raise ValueError(
+                    f"denoiser arch {self.cfg.denoiser.arch!r} has no "
+                    "streaming form (offline-only backbone)")
             dx, aux = self.net_stream.apply(
                 {"params": net_params["params"], "cache": cache},
                 full_x, full_time, full_cond, full_tcond,

@@ -95,7 +95,10 @@ class UNet1D(nn.Module):
     cfg: UNet1DConfig
 
     @nn.compact
-    def __call__(self, x, time, cond=None, time_cond=None):
+    def __call__(self, x, time, cond=None, time_cond=None,
+                 deterministic: bool = True):
+        # `deterministic` accepted for denoiser-slot interface parity
+        # (this backbone has no dropout).
         cfg = self.cfg
         out_size = cfg.out_size or cfg.in_size
         n = len(cfg.channels)

@@ -65,6 +65,10 @@ class Streamer:
         that precision (conv/KV caches included); audio/latent I/O stays
         f32.  Call `prepare_variables` once so the per-call param casts
         fold away."""
+        if cfg.denoiser.arch == "unet1d":
+            raise ValueError(
+                "denoiser arch 'unet1d' is offline-only (no streaming "
+                "caches) — use TransferPipeline, or arch 'v2'/'v1'")
         if not cfg.autoencoder.causal:
             raise ValueError(
                 "streaming requires a causal codec config "

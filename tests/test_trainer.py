@@ -285,3 +285,44 @@ def test_rbg_rng_impl_training_steps():
                    callback=lambda s, m: losses.append(m))
     assert state.step == 3
     assert all(np.isfinite(m["diffusion_loss"]) for m in losses)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", ["v1", "unet1d"])
+def test_alternative_denoiser_backbones_train_and_sample(arch):
+    """denoiser.arch selects the reference's gin-selectable net slot
+    (base.gin net=@DenoiserV2; transformer.py:555 v1 / unet1d.py:255 UNET1D):
+    full train steps + the CFG sampler must run on each backbone."""
+    from after_tpu.diffusion import RectifiedFlow
+
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {
+        "denoiser.arch": arch,
+        "denoiser.unet_channels": (16, 16),
+        "denoiser.unet_ratios": (2, 2),
+        "train.timbre_warmup": 100,
+        "train.batch_size": 2,
+    })
+    tr = DiffusionTrainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0), 2)
+    losses = []
+    state = tr.fit(state, synthetic_batches(3), max_steps=3,
+                   callback=lambda s, m: losses.append(m))
+    assert state.step == 3
+    assert all(np.isfinite(m["diffusion_loss"]) for m in losses)
+
+    rf = RectifiedFlow(cfg)
+    x0 = jnp.asarray(np.random.RandomState(0).randn(2, 32, 8),
+                     jnp.float32)
+    cond = jnp.zeros((2, cfg.zt_channels))
+    tcond = jnp.zeros((2, 32, cfg.zs_channels))
+    y = rf.sample({"params": state.ema_params}, x0, cond, tcond, 2)
+    assert y.shape == x0.shape and np.isfinite(np.asarray(y)).all()
+
+
+def test_unet1d_backbone_rejects_streaming():
+    from after_tpu.streaming import Streamer
+
+    cfg = with_overrides(micro_config(), {"denoiser.arch": "unet1d"})
+    with pytest.raises(ValueError, match="offline-only"):
+        Streamer(cfg, chunk_size=4)
