@@ -445,15 +445,39 @@ size_t DtypeSize(const std::string& name) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc < 6) {
+  // --pcm: live mode — raw float32 PCM over pipes instead of WAV files:
+  // stdin carries interleaved 2-channel frames (ch0 = structure audio,
+  // ch1 = timbre audio), stdout emits mono float32 frames, flushed per
+  // buffer.  This is the actual nn~ posture (audio callback in, audio
+  // callback out) and lets sox/ffmpeg/jack pipe live audio through the
+  // model:  ... | stream_host art plugin --pcm [nb_steps gt gs] | ...
+  bool pcm_mode = false;
+  std::vector<char*> pos;
+  for (int i = 0; i < argc; ++i) {
+    if (std::string(argv[i]) == "--pcm") pcm_mode = true;
+    else pos.push_back(argv[i]);
+  }
+  argc = static_cast<int>(pos.size());
+  argv = pos.data();
+  if (argc < (pcm_mode ? 3 : 6)) {
     std::cerr << "usage: stream_host <artifact_dir> <pjrt_plugin.so> "
-                 "<structure.wav> <timbre.wav> <out.wav> [n_chunks]\n";
+                 "<structure.wav> <timbre.wav> <out.wav> "
+                 "[n_chunks] [nb_steps] [guidance_timbre] "
+                 "[guidance_structure]\n"
+                 "   or: stream_host <artifact_dir> <pjrt_plugin.so> --pcm "
+                 "[nb_steps] [guidance_timbre] [guidance_structure]\n"
+                 "       (interleaved 2ch f32 PCM on stdin -> mono f32 on "
+                 "stdout)\n";
     return 1;
   }
   std::string art = argv[1], plugin = argv[2];
-  Wav in_struct = ReadWav(argv[3]);
-  Wav in_timbre = ReadWav(argv[4]);
-  std::string out_path = argv[5];
+  Wav in_struct, in_timbre;
+  std::string out_path;
+  if (!pcm_mode) {
+    in_struct = ReadWav(argv[3]);
+    in_timbre = ReadWav(argv[4]);
+    out_path = argv[5];
+  }
 
   std::string manifest = ReadFile(art + "/manifest.json");
   int64_t format_version = JsonInt(manifest, "format_version", 1);
@@ -465,21 +489,26 @@ int main(int argc, char** argv) {
   auto dtypes = JsonStringList(manifest, "state_dtypes");
   assert(static_cast<int64_t>(shapes.size()) == n_leaves);
 
-  int64_t n_chunks = std::min(in_struct.samples.size(),
-                              in_timbre.samples.size()) / audio_chunk;
-  if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
+  int64_t n_chunks = -1;  // pcm mode: stream until stdin EOF
+  if (!pcm_mode) {
+    n_chunks = std::min(in_struct.samples.size(),
+                        in_timbre.samples.size()) / audio_chunk;
+    if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
+  }
 
   // live-settable attributes (manifest format_version >= 2): nb_steps and
   // the two guidances are trailing runtime scalar inputs of `diffuse` —
   // the host can change them between any two buffers without recompiling
   // (the nn~ attribute surface, reference export.py:331-356).  CLI:
-  // [nb_steps] [guidance_timbre] [guidance_structure] after n_chunks.
+  // [nb_steps] [guidance_timbre] [guidance_structure] after n_chunks
+  // (file mode) or directly after --pcm (pcm mode).
   int32_t attr_nb_steps =
       static_cast<int32_t>(JsonInt(manifest, "nb_steps", 1));
   float attr_g_timbre = 1.0f, attr_g_structure = 1.0f;
-  if (argc > 7) attr_nb_steps = std::atoi(argv[7]);
-  if (argc > 8) attr_g_timbre = std::atof(argv[8]);
-  if (argc > 9) attr_g_structure = std::atof(argv[9]);
+  int attr0 = pcm_mode ? 3 : 7;
+  if (argc > attr0) attr_nb_steps = std::atoi(argv[attr0]);
+  if (argc > attr0 + 1) attr_g_timbre = std::atof(argv[attr0 + 1]);
+  if (argc > attr0 + 2) attr_g_structure = std::atof(argv[attr0 + 2]);
 
   PjrtHost host(plugin);
   std::string copts = FileExists(art + "/compile_options.pb")
@@ -553,11 +582,40 @@ int main(int argc, char** argv) {
     inflight.pop_front();
     host.AwaitAndDestroy(p.ev);
     host.DestroyBuffer(p.y);
-    out_all.insert(out_all.end(), p.data.begin(), p.data.end());
+    if (pcm_mode) {
+      std::fwrite(p.data.data(), 4, p.data.size(), stdout);
+      std::fflush(stdout);
+    } else {
+      out_all.insert(out_all.end(), p.data.begin(), p.data.end());
+    }
   };
 
-  std::cerr << "[stream_host] streaming " << n_chunks << " chunks of "
-            << audio_chunk << " samples\n";
+  // fills buf_s/buf_t for chunk c; false at end of input
+  std::vector<float> pcm_frame(2 * audio_chunk);
+  auto next_chunk = [&](int64_t c) -> bool {
+    if (pcm_mode) {
+      size_t got = std::fread(pcm_frame.data(), 4, pcm_frame.size(), stdin);
+      if (got < pcm_frame.size()) return false;  // EOF / short read
+      for (int64_t i = 0; i < audio_chunk; ++i) {
+        buf_s[i] = pcm_frame[2 * i];
+        buf_t[i] = pcm_frame[2 * i + 1];
+      }
+      return true;
+    }
+    if (c >= n_chunks) return false;
+    std::memcpy(buf_s.data(), in_struct.samples.data() + c * audio_chunk,
+                audio_chunk * 4);
+    std::memcpy(buf_t.data(), in_timbre.samples.data() + c * audio_chunk,
+                audio_chunk * 4);
+    return true;
+  };
+
+  if (pcm_mode)
+    std::cerr << "[stream_host] live PCM mode: 2ch f32 in, mono f32 out, "
+              << audio_chunk << " samples/buffer\n";
+  else
+    std::cerr << "[stream_host] streaming " << n_chunks << " chunks of "
+              << audio_chunk << " samples\n";
   auto t_stream0 = std::chrono::steady_clock::now();
 
   // Attribute scalars are NOT donated by the executables, so they can be
@@ -597,11 +655,8 @@ int main(int argc, char** argv) {
     return outs[0];
   };
 
-  for (int64_t c = 0; c < n_chunks; ++c) {
-    std::memcpy(buf_s.data(), in_struct.samples.data() + c * audio_chunk,
-                audio_chunk * 4);
-    std::memcpy(buf_t.data(), in_timbre.samples.data() + c * audio_chunk,
-                audio_chunk * 4);
+  int64_t c = 0;
+  for (; next_chunk(c); ++c) {
     rng_data[0] = static_cast<uint32_t>(c + 1);
     PJRT_Buffer* y;
     if (fused) {
@@ -658,15 +713,19 @@ int main(int argc, char** argv) {
 
   double stream_s = std::chrono::duration<double>(
       std::chrono::steady_clock::now() - t_stream0).count();
-  WriteWav(out_path, out_all, sr);
-  std::cerr << "[stream_host] wrote " << out_all.size() << " samples -> "
-            << out_path << "\n";
-  std::cerr << "[stream_host] stream " << stream_s << " s total, "
-            << (stream_s * 1e3 / n_chunks) << " ms/buffer ("
-            << (double(audio_chunk) / sr * 1e3) << " ms audio/buffer)\n";
-  std::cerr << "[stream_host] phases ms/buffer: upload "
-            << (t_upload * 1e3 / n_chunks) << ", execute "
-            << (t_exec * 1e3 / n_chunks) << ", readback "
-            << (t_readback * 1e3 / n_chunks) << "\n";
+  if (!pcm_mode) {
+    WriteWav(out_path, out_all, sr);
+    std::cerr << "[stream_host] wrote " << out_all.size() << " samples -> "
+              << out_path << "\n";
+  }
+  if (c > 0) {
+    std::cerr << "[stream_host] stream " << stream_s << " s total, "
+              << (stream_s * 1e3 / c) << " ms/buffer ("
+              << (double(audio_chunk) / sr * 1e3) << " ms audio/buffer)\n";
+    std::cerr << "[stream_host] phases ms/buffer: upload "
+              << (t_upload * 1e3 / c) << ", execute "
+              << (t_exec * 1e3 / c) << ", readback "
+              << (t_readback * 1e3 / c) << "\n";
+  }
   return 0;
 }

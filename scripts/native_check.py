@@ -84,3 +84,24 @@ err = np.abs(out[:n] - ref[:n]).max()
 print(f"native vs python maxdiff = {err:.2e} over {n} samples")
 assert err < 2e-4, err
 print("NATIVE DONATED-STATE OK")
+
+# live PCM mode: same (int16-quantized) inputs interleaved over stdin,
+# mono f32 frames on stdout; must match the file-mode/Python reference.
+pcm_in = np.empty(2 * n, np.float32)
+pcm_in[0::2] = s[:n]
+pcm_in[1::2] = t[:n]
+env["AFTER_PJRT_OPTIONS"] = ("remote_compile=1;local_only=0;priority=0;"
+                             "topology=v5e:1x1x1;n_slices=1;"
+                             f"session_id={uuid.uuid4()};rank=4294967295")
+r = subprocess.run(["/root/repo/native/stream_host", art,
+                    "/opt/axon/libaxon_pjrt.so", "--pcm", "2"],
+                   env=env, input=pcm_in.tobytes(), capture_output=True,
+                   timeout=1200)
+print(r.stderr[-1200:].decode(), flush=True)
+assert r.returncode == 0, r.returncode
+pcm_out = np.frombuffer(r.stdout, np.float32)
+assert len(pcm_out) == n, (len(pcm_out), n)
+err = np.abs(pcm_out - ref[:n]).max()
+print(f"pcm mode vs python maxdiff = {err:.2e} over {n} samples")
+assert err < 2e-4, err
+print("NATIVE PCM MODE OK")
