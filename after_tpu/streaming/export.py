@@ -194,6 +194,9 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
             "guidance_structure": {"default": float(guidance_structure),
                                    "dtype": "float32"},
         },
+        # >0 marks a MIDI artifact: hosts feed diffuse_midi (chunk, n_poly,
+        # 2) note pairs instead of structure audio (reference export_midi)
+        "n_poly": int(streamer.n_poly) if streamer.is_midi else 0,
         "n_state_leaves": len(leaves),
         "state_shapes": [list(np.shape(l)) for l in leaves],
         "state_dtypes": [str(np.asarray(l).dtype) for l in leaves],

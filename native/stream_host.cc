@@ -471,19 +471,38 @@ int main(int argc, char** argv) {
     return 1;
   }
   std::string art = argv[1], plugin = argv[2];
-  Wav in_struct, in_timbre;
-  std::string out_path;
-  if (!pcm_mode) {
-    in_struct = ReadWav(argv[3]);
-    in_timbre = ReadWav(argv[4]);
-    out_path = argv[5];
-  }
 
   std::string manifest = ReadFile(art + "/manifest.json");
   int64_t format_version = JsonInt(manifest, "format_version", 1);
   int64_t audio_chunk = JsonInt(manifest, "audio_chunk", 8192);
   int64_t chunk = JsonInt(manifest, "chunk_size", 4);
   int64_t sr = JsonInt(manifest, "sr", 44100);
+  // n_poly > 0 marks a MIDI artifact: structure conditioning comes from
+  // (chunk, n_poly, 2) note pairs per buffer (exported diffuse_midi,
+  // reference export_midi.py) — argv[3] is then a raw float32 notes file
+  // of shape (n_frames, n_poly, 2) instead of the structure WAV.
+  int64_t n_poly = JsonInt(manifest, "n_poly", 0);
+  bool midi_mode = n_poly > 0;
+  if (pcm_mode && midi_mode) {
+    std::cerr << "--pcm is audio-to-audio only; MIDI artifacts take a "
+                 "notes file (see scripts/midi_to_notes.py)\n";
+    return 1;
+  }
+
+  Wav in_struct, in_timbre;
+  std::vector<float> notes_all;
+  std::string out_path;
+  if (!pcm_mode) {
+    if (midi_mode) {
+      std::string raw = ReadFile(argv[3]);
+      notes_all.resize(raw.size() / 4);
+      std::memcpy(notes_all.data(), raw.data(), notes_all.size() * 4);
+    } else {
+      in_struct = ReadWav(argv[3]);
+    }
+    in_timbre = ReadWav(argv[4]);
+    out_path = argv[5];
+  }
   int64_t n_leaves = JsonInt(manifest, "n_state_leaves", 0);
   auto shapes = JsonShapeList(manifest, "state_shapes");
   auto dtypes = JsonStringList(manifest, "state_dtypes");
@@ -491,8 +510,13 @@ int main(int argc, char** argv) {
 
   int64_t n_chunks = -1;  // pcm mode: stream until stdin EOF
   if (!pcm_mode) {
-    n_chunks = std::min(in_struct.samples.size(),
-                        in_timbre.samples.size()) / audio_chunk;
+    int64_t struct_chunks =
+        midi_mode
+            ? static_cast<int64_t>(notes_all.size()) / (n_poly * 2 * chunk)
+            : static_cast<int64_t>(in_struct.samples.size()) / audio_chunk;
+    n_chunks = std::min(
+        struct_chunks,
+        static_cast<int64_t>(in_timbre.samples.size()) / audio_chunk);
     if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
   }
 
@@ -524,19 +548,22 @@ int main(int argc, char** argv) {
   // 237 -> well-under-budget ms/buffer through a remote PJRT relay.  MIDI
   // artifacts have no `forward`; AFTER_NATIVE_SPLIT=1 forces the split
   // path for debugging.
-  bool fused = FileExists(art + "/forward.mlir.bc") &&
+  bool fused = !midi_mode && FileExists(art + "/forward.mlir.bc") &&
                !std::getenv("AFTER_NATIVE_SPLIT");
   std::cerr << "[stream_host] compiling methods ("
-            << (fused ? "fused forward" : "split") << ")...\n";
+            << (midi_mode ? "midi" : fused ? "fused forward" : "split")
+            << ")...\n";
   auto t_compile0 = std::chrono::steady_clock::now();
   PJRT_LoadedExecutable* m_forward = fused ? compile_method("forward")
                                            : nullptr;
-  PJRT_LoadedExecutable* m_structure = fused ? nullptr
-                                             : compile_method("structure");
+  PJRT_LoadedExecutable* m_structure = (fused || midi_mode)
+                                           ? nullptr
+                                           : compile_method("structure");
   PJRT_LoadedExecutable* m_timbre = fused ? nullptr
                                           : compile_method("timbre");
-  PJRT_LoadedExecutable* m_diffuse = fused ? nullptr
-                                           : compile_method("diffuse");
+  PJRT_LoadedExecutable* m_diffuse =
+      fused ? nullptr
+            : compile_method(midi_mode ? "diffuse_midi" : "diffuse");
   PJRT_LoadedExecutable* m_decode = fused ? nullptr
                                           : compile_method("decode");
   std::cerr << "[stream_host] compile "
@@ -603,8 +630,9 @@ int main(int argc, char** argv) {
       return true;
     }
     if (c >= n_chunks) return false;
-    std::memcpy(buf_s.data(), in_struct.samples.data() + c * audio_chunk,
-                audio_chunk * 4);
+    if (!midi_mode)
+      std::memcpy(buf_s.data(), in_struct.samples.data() + c * audio_chunk,
+                  audio_chunk * 4);
     std::memcpy(buf_t.data(), in_timbre.samples.data() + c * audio_chunk,
                 audio_chunk * 4);
     return true;
@@ -672,9 +700,19 @@ int main(int argc, char** argv) {
       t_upload += secs(t0, t1);
       t_exec += secs(t1, t2);
     } else {
-      PJRT_Buffer* zs = run_state_method(
-          m_structure, {host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32,
-                                      audio_dims)});
+      auto t0 = now();
+      // structure conditioning: encoded audio (a2a) or the raw note-pair
+      // tensor for this buffer (midi — no device-side encoder involved)
+      PJRT_Buffer* zs;
+      if (midi_mode) {
+        std::vector<int64_t> notes_dims{1, chunk, n_poly, 2};
+        zs = host.ToDevice(notes_all.data() + c * chunk * n_poly * 2,
+                           PJRT_Buffer_Type_F32, notes_dims);
+      } else {
+        zs = run_state_method(
+            m_structure, {host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32,
+                                        audio_dims)});
+      }
       PJRT_Buffer* zt = run_state_method(
           m_timbre, {host.ToDevice(buf_t.data(), PJRT_Buffer_Type_F32,
                                    audio_dims)});
@@ -683,6 +721,7 @@ int main(int argc, char** argv) {
       std::vector<PJRT_Buffer*> diffuse_args{zs, zt, rng};
       PJRT_Buffer* z = run_state_method(m_diffuse, diffuse_args, attr_bufs);
       y = run_state_method(m_decode, {z});
+      t_exec += secs(t0, now());
     }
 
     // Pipelined readback: start the device->host copy now, await it
