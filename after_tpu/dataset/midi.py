@@ -156,6 +156,20 @@ class MidiFile:
             roll[n.pitch, mask] = n.velocity
         return roll
 
+    def get_note_pairs(self, times: np.ndarray, n_poly: int) -> np.ndarray:
+        """(len(times), n_poly, 2) active (pitch, velocity) pairs per frame,
+        zero-padded — the streaming note-pair conditioning the reference's
+        Max device feeds nn~ (export_midi.py); Streamer.diffuse_midi
+        scatters it back into the 128-bin roll."""
+        out = np.zeros((len(times), n_poly, 2), np.float32)
+        for i, t in enumerate(np.asarray(times)):
+            slot = 0
+            for n in self.notes:
+                if n.start <= t < n.end and slot < n_poly:
+                    out[i, slot] = (n.pitch, n.velocity)
+                    slot += 1
+        return out
+
     # -- writing (for tests / round-trips) --------------------------------
 
     def save(self, path: str, tempo_bpm: float = 120.0,

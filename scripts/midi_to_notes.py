@@ -11,19 +11,6 @@ import numpy as np
 from after_tpu.dataset.midi import MidiFile
 
 
-def notes_tensor(mf: MidiFile, times: np.ndarray, n_poly: int) -> np.ndarray:
-    """(len(times), n_poly, 2) active (pitch, velocity) pairs per frame,
-    zero-padded; matches Streamer.diffuse_midi's piano-roll scatter."""
-    out = np.zeros((len(times), n_poly, 2), np.float32)
-    for i, t in enumerate(times):
-        slot = 0
-        for n in mf.notes:
-            if n.start <= t < n.end and slot < n_poly:
-                out[i, slot] = (n.pitch, n.velocity)
-                slot += 1
-    return out
-
-
 def main():
     mid_path, art, out_path = sys.argv[1:4]
     manifest = json.load(open(os.path.join(art, "manifest.json")))
@@ -38,7 +25,7 @@ def main():
     cs = manifest["chunk_size"]
     n_frames = ((n_frames + cs - 1) // cs) * cs
     times = np.arange(n_frames) / latent_rate
-    notes = notes_tensor(mf, times, n_poly)
+    notes = mf.get_note_pairs(times, n_poly)
     notes.tofile(out_path)
     print(f"{out_path}: {n_frames} frames x {n_poly} poly "
           f"({n_frames // cs} buffers of {cs})")

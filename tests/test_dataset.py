@@ -81,6 +81,26 @@ def test_midi_roundtrip_and_piano_roll(tmp_path):
     assert len(sliced.notes) == 3 and sliced.notes[0].start == 0.0
 
 
+def test_midi_note_pairs_match_piano_roll():
+    """get_note_pairs (the native host's streaming conditioning) scattered
+    back into a 128-bin roll reproduces get_piano_roll — the same property
+    Streamer.diffuse_midi relies on (velocity/128 scatter-max)."""
+    notes = [Note(60, 100, 0.0, 1.0), Note(64, 80, 0.5, 1.5),
+             Note(67, 90, 1.0, 2.0)]
+    m = MidiFile(notes=notes)
+    times = np.linspace(0, 2, 50)
+    pairs = m.get_note_pairs(times, n_poly=4)
+    assert pairs.shape == (50, 4, 2)
+    roll = np.zeros((50, 128), np.float32)
+    for i in range(50):
+        for p, v in pairs[i]:
+            if v > 0:
+                roll[i, int(p)] = max(roll[i, int(p)], v)
+    assert np.array_equal(roll.T, m.get_piano_roll(times))
+    # polyphony truncation keeps the first n_poly active notes
+    assert m.get_note_pairs(times, n_poly=1).shape == (50, 1, 2)
+
+
 def test_midi_collate(tmp_path):
     m = MidiFile(notes=[Note(60, 100, 0.0, 3.0)])
     z = np.random.randn(8, 64).astype(np.float32)
