@@ -179,6 +179,10 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
         "methods": streamer.method_specs(),
         "chunk_size": T,
         "audio_chunk": A,
+        # voices batched into one graph: B buffers cost ~the same wall time
+        # as one (measured: 46.8/47.5/47.7 ms at B=1/4/8 — see PARITY.md),
+        # so serving hosts stack concurrent users into a batched artifact
+        "batch_size": batch_size,
         "ratio": streamer.ratio,
         "sr": cfg.sr,
         "nb_steps": nb_steps,

@@ -22,10 +22,12 @@
 // Build (see native/build.sh):
 //   g++ -O2 -std=c++17 -I$TF_INCLUDE -o stream_host stream_host.cc -ldl
 
+#include <algorithm>
 #include <cassert>
 #include <chrono>
 #include <cstdint>
 #include <deque>
+#include <limits>
 #include <cstring>
 #include <dlfcn.h>
 #include <fstream>
@@ -483,25 +485,57 @@ int main(int argc, char** argv) {
   // of shape (n_frames, n_poly, 2) instead of the structure WAV.
   int64_t n_poly = JsonInt(manifest, "n_poly", 0);
   bool midi_mode = n_poly > 0;
+  // batched-voice artifacts (export_streamer(batch_size=B)): B voices ride
+  // one graph for ~the wall time of one (see PARITY.md); inputs/outputs
+  // are comma-separated per-voice file lists.
+  int64_t n_voices = JsonInt(manifest, "batch_size", 1);
   if (pcm_mode && midi_mode) {
     std::cerr << "--pcm is audio-to-audio only; MIDI artifacts take a "
                  "notes file (see scripts/midi_to_notes.py)\n";
     return 1;
   }
+  if (pcm_mode && n_voices != 1) {
+    std::cerr << "--pcm supports batch_size=1 artifacts only\n";
+    return 1;
+  }
 
-  Wav in_struct, in_timbre;
-  std::vector<float> notes_all;
-  std::string out_path;
-  if (!pcm_mode) {
-    if (midi_mode) {
-      std::string raw = ReadFile(argv[3]);
-      notes_all.resize(raw.size() / 4);
-      std::memcpy(notes_all.data(), raw.data(), notes_all.size() * 4);
-    } else {
-      in_struct = ReadWav(argv[3]);
+  auto split_list = [](const std::string& s) {
+    std::vector<std::string> out;
+    size_t p = 0, q;
+    while ((q = s.find(',', p)) != std::string::npos) {
+      out.push_back(s.substr(p, q - p));
+      p = q + 1;
     }
-    in_timbre = ReadWav(argv[4]);
-    out_path = argv[5];
+    out.push_back(s.substr(p));
+    return out;
+  };
+
+  std::vector<Wav> in_struct, in_timbre;
+  std::vector<std::vector<float>> notes_all;  // per voice
+  std::vector<std::string> out_paths;
+  if (!pcm_mode) {
+    auto s_list = split_list(argv[3]);
+    auto t_list = split_list(argv[4]);
+    out_paths = split_list(argv[5]);
+    if (static_cast<int64_t>(s_list.size()) != n_voices ||
+        static_cast<int64_t>(t_list.size()) != n_voices ||
+        static_cast<int64_t>(out_paths.size()) != n_voices) {
+      std::cerr << "artifact batch_size=" << n_voices << ": need "
+                << n_voices << " comma-separated structure/timbre/out "
+                << "files\n";
+      return 1;
+    }
+    for (int64_t v = 0; v < n_voices; ++v) {
+      if (midi_mode) {
+        std::string raw = ReadFile(s_list[v]);
+        notes_all.emplace_back(raw.size() / 4);
+        std::memcpy(notes_all.back().data(), raw.data(),
+                    notes_all.back().size() * 4);
+      } else {
+        in_struct.push_back(ReadWav(s_list[v]));
+      }
+      in_timbre.push_back(ReadWav(t_list[v]));
+    }
   }
   int64_t n_leaves = JsonInt(manifest, "n_state_leaves", 0);
   auto shapes = JsonShapeList(manifest, "state_shapes");
@@ -510,13 +544,17 @@ int main(int argc, char** argv) {
 
   int64_t n_chunks = -1;  // pcm mode: stream until stdin EOF
   if (!pcm_mode) {
-    int64_t struct_chunks =
-        midi_mode
-            ? static_cast<int64_t>(notes_all.size()) / (n_poly * 2 * chunk)
-            : static_cast<int64_t>(in_struct.samples.size()) / audio_chunk;
-    n_chunks = std::min(
-        struct_chunks,
-        static_cast<int64_t>(in_timbre.samples.size()) / audio_chunk);
+    n_chunks = std::numeric_limits<int64_t>::max();
+    for (int64_t v = 0; v < n_voices; ++v) {
+      int64_t struct_chunks =
+          midi_mode ? static_cast<int64_t>(notes_all[v].size()) /
+                          (n_poly * 2 * chunk)
+                    : static_cast<int64_t>(in_struct[v].samples.size()) /
+                          audio_chunk;
+      n_chunks = std::min(
+          {n_chunks, struct_chunks,
+           static_cast<int64_t>(in_timbre[v].samples.size()) / audio_chunk});
+    }
     if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
   }
 
@@ -580,9 +618,12 @@ int main(int argc, char** argv) {
                              shapes[i]);
   }
 
-  std::vector<float> out_all;
-  std::vector<float> buf_s(audio_chunk), buf_t(audio_chunk);
-  std::vector<int64_t> audio_dims{1, audio_chunk, 1};
+  // out_all[v]: accumulated output samples for voice v (file mode)
+  std::vector<std::vector<float>> out_all(n_voices);
+  std::vector<float> buf_s(n_voices * audio_chunk),
+      buf_t(n_voices * audio_chunk),
+      notes_buf(midi_mode ? n_voices * chunk * n_poly * 2 : 0);
+  std::vector<int64_t> audio_dims{n_voices, audio_chunk, 1};
   uint32_t rng_data[2] = {0, 42};
   std::vector<int64_t> rng_dims{2};
 
@@ -613,7 +654,10 @@ int main(int argc, char** argv) {
       std::fwrite(p.data.data(), 4, p.data.size(), stdout);
       std::fflush(stdout);
     } else {
-      out_all.insert(out_all.end(), p.data.begin(), p.data.end());
+      for (int64_t v = 0; v < n_voices; ++v)
+        out_all[v].insert(out_all[v].end(),
+                          p.data.begin() + v * audio_chunk,
+                          p.data.begin() + (v + 1) * audio_chunk);
     }
   };
 
@@ -630,11 +674,19 @@ int main(int argc, char** argv) {
       return true;
     }
     if (c >= n_chunks) return false;
-    if (!midi_mode)
-      std::memcpy(buf_s.data(), in_struct.samples.data() + c * audio_chunk,
+    for (int64_t v = 0; v < n_voices; ++v) {
+      if (midi_mode)
+        std::memcpy(notes_buf.data() + v * chunk * n_poly * 2,
+                    notes_all[v].data() + c * chunk * n_poly * 2,
+                    chunk * n_poly * 2 * 4);
+      else
+        std::memcpy(buf_s.data() + v * audio_chunk,
+                    in_struct[v].samples.data() + c * audio_chunk,
+                    audio_chunk * 4);
+      std::memcpy(buf_t.data() + v * audio_chunk,
+                  in_timbre[v].samples.data() + c * audio_chunk,
                   audio_chunk * 4);
-    std::memcpy(buf_t.data(), in_timbre.samples.data() + c * audio_chunk,
-                audio_chunk * 4);
+    }
     return true;
   };
 
@@ -705,9 +757,9 @@ int main(int argc, char** argv) {
       // tensor for this buffer (midi — no device-side encoder involved)
       PJRT_Buffer* zs;
       if (midi_mode) {
-        std::vector<int64_t> notes_dims{1, chunk, n_poly, 2};
-        zs = host.ToDevice(notes_all.data() + c * chunk * n_poly * 2,
-                           PJRT_Buffer_Type_F32, notes_dims);
+        std::vector<int64_t> notes_dims{n_voices, chunk, n_poly, 2};
+        zs = host.ToDevice(notes_buf.data(), PJRT_Buffer_Type_F32,
+                           notes_dims);
       } else {
         zs = run_state_method(
             m_structure, {host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32,
@@ -733,8 +785,8 @@ int main(int argc, char** argv) {
     // posture: the callback for buffer c hands out buffer c-(D-1).
     {
       Pending p;
-      p.data.resize(audio_chunk);
-      p.ev = host.ToHostAsync(y, p.data.data(), audio_chunk * 4);
+      p.data.resize(n_voices * audio_chunk);
+      p.ev = host.ToHostAsync(y, p.data.data(), p.data.size() * 4);
       p.y = y;
       inflight.push_back(std::move(p));
     }
@@ -753,9 +805,11 @@ int main(int argc, char** argv) {
   double stream_s = std::chrono::duration<double>(
       std::chrono::steady_clock::now() - t_stream0).count();
   if (!pcm_mode) {
-    WriteWav(out_path, out_all, sr);
-    std::cerr << "[stream_host] wrote " << out_all.size() << " samples -> "
-              << out_path << "\n";
+    for (int64_t v = 0; v < n_voices; ++v) {
+      WriteWav(out_paths[v], out_all[v], sr);
+      std::cerr << "[stream_host] wrote " << out_all[v].size()
+                << " samples -> " << out_paths[v] << "\n";
+    }
   }
   if (c > 0) {
     std::cerr << "[stream_host] stream " << stream_s << " s total, "
