@@ -25,6 +25,8 @@
 #include <algorithm>
 #include <cassert>
 #include <chrono>
+#include <fcntl.h>
+#include <unistd.h>
 #include <cstdint>
 #include <deque>
 #include <limits>
@@ -713,6 +715,55 @@ int main(int argc, char** argv) {
                                       PJRT_Buffer_Type_F32, scalar_dims));
   }
 
+  // Live attribute control (the nn~ setter surface the Max device drives,
+  // reference export.py:331-356): AFTER_NATIVE_CTRL names a FIFO/file
+  // polled non-blockingly between buffers for lines like
+  //   nb_steps 4
+  //   guidance_timbre 2.0
+  //   guidance_structure 1.5
+  // Each change re-uploads just that scalar; it applies from the next
+  // buffer, with no recompilation (attributes are runtime inputs).
+  int ctrl_fd = -1;
+  std::string ctrl_acc;
+  if (const char* p = std::getenv("AFTER_NATIVE_CTRL"))
+    ctrl_fd = open(p, O_RDONLY | O_NONBLOCK);
+  auto poll_ctrl = [&] {
+    if (ctrl_fd < 0 || attr_bufs.empty()) return;
+    char tmp[256];
+    ssize_t k;
+    while ((k = read(ctrl_fd, tmp, sizeof(tmp))) > 0)
+      ctrl_acc.append(tmp, k);
+    size_t nl;
+    while ((nl = ctrl_acc.find('\n')) != std::string::npos) {
+      std::string line = ctrl_acc.substr(0, nl);
+      ctrl_acc.erase(0, nl + 1);
+      std::vector<int64_t> scalar_dims;
+      size_t sp = line.find(' ');
+      if (sp == std::string::npos) continue;
+      std::string name = line.substr(0, sp), val = line.substr(sp + 1);
+      if (name == "nb_steps") {
+        attr_nb_steps = std::atoi(val.c_str());
+        host.DestroyBuffer(attr_bufs[0]);
+        attr_bufs[0] = host.ToDevice(&attr_nb_steps, PJRT_Buffer_Type_S32,
+                                     scalar_dims);
+      } else if (name == "guidance_timbre") {
+        attr_g_timbre = std::atof(val.c_str());
+        host.DestroyBuffer(attr_bufs[1]);
+        attr_bufs[1] = host.ToDevice(&attr_g_timbre, PJRT_Buffer_Type_F32,
+                                     scalar_dims);
+      } else if (name == "guidance_structure") {
+        attr_g_structure = std::atof(val.c_str());
+        host.DestroyBuffer(attr_bufs[2]);
+        attr_bufs[2] = host.ToDevice(&attr_g_structure,
+                                     PJRT_Buffer_Type_F32, scalar_dims);
+      } else {
+        std::cerr << "[stream_host] unknown attribute: " << name << "\n";
+        continue;
+      }
+      std::cerr << "[stream_host] set " << name << " = " << val << "\n";
+    }
+  };
+
   // Runs exec(state, extra..., persistent...); adopts the new state
   // (outputs 1..n_leaves), destroys the per-call `extra` inputs, leaves
   // `persistent` inputs (attribute scalars) alive for reuse.
@@ -737,6 +788,7 @@ int main(int argc, char** argv) {
 
   int64_t c = 0;
   for (; next_chunk(c); ++c) {
+    poll_ctrl();
     rng_data[0] = static_cast<uint32_t>(c + 1);
     PJRT_Buffer* y;
     if (fused) {
