@@ -42,6 +42,44 @@ def test_export_files(exported):
     for m in ("structure", "timbre", "diffuse", "decode"):
         assert os.path.exists(os.path.join(out, f"{m}.stablehlo"))
     assert os.path.exists(os.path.join(out, "state", "initial_state.npz"))
+    # native-host metadata: batch_size (voice batching), n_poly (0 = a2a)
+    import json
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["batch_size"] == 1
+    assert manifest["n_poly"] == 0
+
+
+def test_batched_voice_export_roundtrip(tmp_path):
+    """batch_size=2 artifacts drive two voices through one graph — the
+    native stream_host serving posture (scripts/native_batch_check.py runs
+    the same check against the C++ host on real TPU)."""
+    cfg = micro_config()
+    cfg = with_overrides(cfg, {"autoencoder.causal": True,
+                               "autoencoder.use_norm": False})
+    streamer = Streamer(cfg, chunk_size=4)
+    pipe = TransferPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "batched")
+    export_streamer(streamer, variables, out, nb_steps=1, batch_size=2)
+    import json
+    assert json.load(open(os.path.join(out, "manifest.json")))[
+        "batch_size"] == 2
+
+    host = ExportedStreamer(out)
+    audio = 0.05 * np.random.RandomState(0).randn(
+        2, streamer.audio_chunk, 1).astype(np.float32)
+    rng = jax.random.key_data(jax.random.PRNGKey(7))
+    y = host.call("forward", jnp.asarray(audio), jnp.asarray(audio[::-1]),
+                  rng)
+    assert np.asarray(y).shape == (2, streamer.audio_chunk, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+    live_state = streamer.init_state(variables, 2)
+    y_live, _ = streamer.forward(
+        variables, live_state, jnp.asarray(audio),
+        jnp.asarray(audio[::-1]), 1, 1.0, 1.0,
+        rng=jax.random.wrap_key_data(rng))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_live), atol=1e-5)
 
 
 def test_exported_matches_live(exported):
