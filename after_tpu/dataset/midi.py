@@ -160,14 +160,21 @@ class MidiFile:
         """(len(times), n_poly, 2) active (pitch, velocity) pairs per frame,
         zero-padded — the streaming note-pair conditioning the reference's
         Max device feeds nn~ (export_midi.py); Streamer.diffuse_midi
-        scatters it back into the 128-bin roll."""
-        out = np.zeros((len(times), n_poly, 2), np.float32)
-        for i, t in enumerate(np.asarray(times)):
-            slot = 0
-            for n in self.notes:
-                if n.start <= t < n.end and slot < n_poly:
-                    out[i, slot] = (n.pitch, n.velocity)
-                    slot += 1
+        scatters it back into the 128-bin roll.  Slots fill in note-list
+        order; notes beyond n_poly simultaneous voices are dropped.
+
+        O(n_notes log n_frames + total_active) via per-note interval fills
+        (times must be ascending, as produced by an arange/latent grid)."""
+        t = np.asarray(times)
+        out = np.zeros((len(t), n_poly, 2), np.float32)
+        counts = np.zeros(len(t), np.int64)
+        for n in self.notes:  # list order == per-frame slot order
+            i0 = int(np.searchsorted(t, n.start, side="left"))
+            i1 = int(np.searchsorted(t, n.end, side="left"))
+            for i in range(i0, i1):
+                if counts[i] < n_poly:
+                    out[i, counts[i]] = (n.pitch, n.velocity)
+                    counts[i] += 1
         return out
 
     # -- writing (for tests / round-trips) --------------------------------

@@ -408,6 +408,10 @@ class PjrtHost {
     return outputs;
   }
 
+  // Query once per executable (at compile time): GetExecutable mints a
+  // PJRT_Executable the caller owns, so it must be destroyed here — and a
+  // long-running live host must not pay two C-API round trips per buffer
+  // for an invariant.
   size_t NumOutputs(PJRT_LoadedExecutable* exec) {
     PJRT_LoadedExecutable_GetExecutable_Args ge{};
     ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
@@ -417,6 +421,10 @@ class PjrtHost {
     no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
     no.executable = ge.executable;
     Check(api_->PJRT_Executable_NumOutputs(&no), "NumOutputs");
+    PJRT_Executable_Destroy_Args de{};
+    de.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+    de.executable = ge.executable;
+    api_->PJRT_Executable_Destroy(&de);
     return no.num_outputs;
   }
 
@@ -579,8 +587,15 @@ int main(int argc, char** argv) {
                           ? ReadFile(art + "/compile_options.pb")
                           : std::string();
 
+  struct Method {
+    PJRT_LoadedExecutable* exec = nullptr;
+    size_t nout = 0;  // queried once at compile time (invariant)
+  };
   auto compile_method = [&](const std::string& name) {
-    return host.Compile(ReadFile(art + "/" + name + ".mlir.bc"), copts);
+    Method m;
+    m.exec = host.Compile(ReadFile(art + "/" + name + ".mlir.bc"), copts);
+    m.nout = host.NumOutputs(m.exec);
+    return m;
   };
   // a2a artifacts carry the fused per-buffer step (`forward` == the
   // reference nn~ forward): ONE dispatch per audio callback instead of
@@ -594,18 +609,14 @@ int main(int argc, char** argv) {
             << (midi_mode ? "midi" : fused ? "fused forward" : "split")
             << ")...\n";
   auto t_compile0 = std::chrono::steady_clock::now();
-  PJRT_LoadedExecutable* m_forward = fused ? compile_method("forward")
-                                           : nullptr;
-  PJRT_LoadedExecutable* m_structure = (fused || midi_mode)
-                                           ? nullptr
-                                           : compile_method("structure");
-  PJRT_LoadedExecutable* m_timbre = fused ? nullptr
-                                          : compile_method("timbre");
-  PJRT_LoadedExecutable* m_diffuse =
-      fused ? nullptr
+  Method m_forward = fused ? compile_method("forward") : Method{};
+  Method m_structure =
+      (fused || midi_mode) ? Method{} : compile_method("structure");
+  Method m_timbre = fused ? Method{} : compile_method("timbre");
+  Method m_diffuse =
+      fused ? Method{}
             : compile_method(midi_mode ? "diffuse_midi" : "diffuse");
-  PJRT_LoadedExecutable* m_decode = fused ? nullptr
-                                          : compile_method("decode");
+  Method m_decode = fused ? Method{} : compile_method("decode");
   std::cerr << "[stream_host] compile "
             << std::chrono::duration<double>(
                    std::chrono::steady_clock::now() - t_compile0).count()
@@ -668,7 +679,12 @@ int main(int argc, char** argv) {
   auto next_chunk = [&](int64_t c) -> bool {
     if (pcm_mode) {
       size_t got = std::fread(pcm_frame.data(), 4, pcm_frame.size(), stdin);
-      if (got < pcm_frame.size()) return false;  // EOF / short read
+      if (got < pcm_frame.size()) {  // EOF
+        if (got > 0)
+          std::cerr << "[stream_host] dropping trailing partial buffer ("
+                    << got / 2 << " of " << audio_chunk << " samples)\n";
+        return false;
+      }
       for (int64_t i = 0; i < audio_chunk; ++i) {
         buf_s[i] = pcm_frame[2 * i];
         buf_t[i] = pcm_frame[2 * i + 1];
@@ -725,8 +741,18 @@ int main(int argc, char** argv) {
   // buffer, with no recompilation (attributes are runtime inputs).
   int ctrl_fd = -1;
   std::string ctrl_acc;
-  if (const char* p = std::getenv("AFTER_NATIVE_CTRL"))
+  if (const char* p = std::getenv("AFTER_NATIVE_CTRL")) {
     ctrl_fd = open(p, O_RDONLY | O_NONBLOCK);
+    if (ctrl_fd < 0)
+      std::cerr << "[stream_host] WARNING: cannot open AFTER_NATIVE_CTRL "
+                << p << " — live attribute control disabled\n";
+    else if (attr_bufs.empty()) {
+      std::cerr << "[stream_host] WARNING: artifact format_version < 2 has "
+                   "no runtime attributes — AFTER_NATIVE_CTRL ignored\n";
+      close(ctrl_fd);
+      ctrl_fd = -1;
+    }
+  }
   auto poll_ctrl = [&] {
     if (ctrl_fd < 0 || attr_bufs.empty()) return;
     char tmp[256];
@@ -767,7 +793,7 @@ int main(int argc, char** argv) {
   // Runs exec(state, extra..., persistent...); adopts the new state
   // (outputs 1..n_leaves), destroys the per-call `extra` inputs, leaves
   // `persistent` inputs (attribute scalars) alive for reuse.
-  auto run_state_method = [&](PJRT_LoadedExecutable* exec,
+  auto run_state_method = [&](const Method& m,
                               std::vector<PJRT_Buffer*> extra,
                               const std::vector<PJRT_Buffer*>& persistent =
                                   {})
@@ -775,8 +801,7 @@ int main(int argc, char** argv) {
     std::vector<PJRT_Buffer*> args(state);
     for (auto* b : extra) args.push_back(b);
     for (auto* b : persistent) args.push_back(b);
-    size_t nout = host.NumOutputs(exec);
-    auto outs = host.Execute(exec, args, nout);
+    auto outs = host.Execute(m.exec, args, m.nout);
     // convention: output 0 is y, outputs 1..n_leaves are the new state
     for (int64_t i = 0; i < n_leaves; ++i) {
       host.DestroyBuffer(state[i]);

@@ -28,7 +28,19 @@ cfg = with_overrides(cfg, {"autoencoder.causal": True,
                            "autoencoder.use_norm": False})
 cfg = cfg.resolved(in_size=cfg.autoencoder.z_channels, n_signal=128)
 streamer = Streamer(cfg, chunk_size=4)
-if not os.path.exists(os.path.join(art, "manifest.json")):
+# reuse only an artifact exported with the same nb_steps default (a stale
+# /tmp artifact from e.g. NB_STEPS=4 native_bench.py would silently change
+# what this A/B measures)
+reuse = False
+mpath = os.path.join(art, "manifest.json")
+if os.path.exists(mpath):
+    reuse = json.load(open(mpath)).get("nb_steps") == 1
+    if not reuse:
+        print("stale artifact (nb_steps != 1): re-exporting",
+              file=sys.stderr, flush=True)
+if not reuse:
+    import shutil
+    shutil.rmtree(art, ignore_errors=True)
     pipe = TransferPipeline(cfg)
     print("init...", file=sys.stderr, flush=True)
     variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)

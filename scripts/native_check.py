@@ -1,32 +1,17 @@
-"""Export tiny donated streaming artifact on TPU, run native host, compare."""
-import os, sys, subprocess, uuid
-sys.path.insert(0, "/root/repo")
-import jax
-import os
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "..", ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-import jax.numpy as jnp, numpy as np
-from after_tpu.config import get_config, with_overrides
+"""Export tiny donated streaming artifact on TPU, run native host, compare.
+
+Covers the file-WAV mode and the --pcm live mode (stdin/stdout PCM)."""
+import os, sys, subprocess
+sys.path.insert(0, os.path.dirname(__file__))
+from _native_common import axon_env, tiny_streaming_cfg
+
+import jax, jax.numpy as jnp, numpy as np
 from after_tpu.diffusion import TransferPipeline
 from after_tpu.streaming import Streamer
 from after_tpu.streaming.export import export_streamer
 from after_tpu.dataset.audio import save_wav, load_wav
 
-cfg = get_config("tiny", "streaming")
-cfg = with_overrides(cfg, {
-    "denoiser.embed_dim": 64, "denoiser.n_layers": 2,
-    "denoiser.noise_embed_dims": 16, "denoiser.mlp_multiplier": 2,
-    "encoder.channels": (16, 16, 16, 32),
-    "encoder_time.channels": (16, 16, 16, 16, 12),
-    "autoencoder.pqmf_bands": 4, "autoencoder.z_channels": 8,
-    "autoencoder.base_channels": 8, "autoencoder.multipliers": (1, 2, 2),
-    "autoencoder.factors": (2, 2), "autoencoder.dilations": (1, 3),
-    "autoencoder.num_blocks_per_stage": 1,
-    "train.n_signal": 16,
-}).resolved(in_size=8, n_signal=16)
+cfg = tiny_streaming_cfg()
 pipe = TransferPipeline(cfg)
 variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)
 streamer = Streamer(cfg, chunk_size=4)
@@ -66,16 +51,11 @@ ref = np.concatenate(outs)
 np.save("/tmp/na_ref.npy", ref)
 print("python host done", flush=True)
 
-env = dict(os.environ)
-env["AFTER_PJRT_OPTIONS"] = ("remote_compile=1;local_only=0;priority=0;"
-                             "topology=v5e:1x1x1;n_slices=1;"
-                             f"session_id={uuid.uuid4()};rank=4294967295")
-env["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
-env["AXON_LOOPBACK_RELAY"] = "1"
 r = subprocess.run(["/root/repo/native/stream_host", art,
                     "/opt/axon/libaxon_pjrt.so", "/tmp/na_s.wav",
                     "/tmp/na_t.wav", "/tmp/na_out.wav"],
-                   env=env, capture_output=True, text=True, timeout=1200)
+                   env=axon_env(), capture_output=True, text=True,
+                   timeout=1200)
 print(r.stderr[-2000:], flush=True)
 assert r.returncode == 0, r.returncode
 out, _ = load_wav("/tmp/na_out.wav")
@@ -90,13 +70,10 @@ print("NATIVE DONATED-STATE OK")
 pcm_in = np.empty(2 * n, np.float32)
 pcm_in[0::2] = s[:n]
 pcm_in[1::2] = t[:n]
-env["AFTER_PJRT_OPTIONS"] = ("remote_compile=1;local_only=0;priority=0;"
-                             "topology=v5e:1x1x1;n_slices=1;"
-                             f"session_id={uuid.uuid4()};rank=4294967295")
 r = subprocess.run(["/root/repo/native/stream_host", art,
                     "/opt/axon/libaxon_pjrt.so", "--pcm", "2"],
-                   env=env, input=pcm_in.tobytes(), capture_output=True,
-                   timeout=1200)
+                   env=axon_env(), input=pcm_in.tobytes(),
+                   capture_output=True, timeout=1200)
 print(r.stderr[-1200:].decode(), flush=True)
 assert r.returncode == 0, r.returncode
 pcm_out = np.frombuffer(r.stdout, np.float32)

@@ -1,34 +1,17 @@
 """Verify the native host's live attribute control path: a run whose
 AFTER_NATIVE_CTRL file sets nb_steps=4 (CLI says 1) must produce exactly
-the output of a run with CLI nb_steps=4, and differ from CLI nb_steps=1.
-Reuses the tiny artifact layout of native_check.py."""
-import os, sys, subprocess, uuid
-sys.path.insert(0, "/root/repo")
-import jax
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "..", ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-import jax.numpy as jnp, numpy as np
-from after_tpu.config import get_config, with_overrides
+the output of a run with CLI nb_steps=4, and differ from CLI nb_steps=1."""
+import os, sys, subprocess
+sys.path.insert(0, os.path.dirname(__file__))
+from _native_common import axon_env, tiny_streaming_cfg
+
+import jax, numpy as np
 from after_tpu.diffusion import TransferPipeline
 from after_tpu.streaming import Streamer
 from after_tpu.streaming.export import export_streamer
 from after_tpu.dataset.audio import save_wav, load_wav
 
-cfg = get_config("tiny", "streaming")
-cfg = with_overrides(cfg, {
-    "denoiser.embed_dim": 64, "denoiser.n_layers": 2,
-    "denoiser.noise_embed_dims": 16, "denoiser.mlp_multiplier": 2,
-    "encoder.channels": (16, 16, 16, 32),
-    "encoder_time.channels": (16, 16, 16, 16, 12),
-    "autoencoder.pqmf_bands": 4, "autoencoder.z_channels": 8,
-    "autoencoder.base_channels": 8, "autoencoder.multipliers": (1, 2, 2),
-    "autoencoder.factors": (2, 2), "autoencoder.dilations": (1, 3),
-    "autoencoder.num_blocks_per_stage": 1,
-    "train.n_signal": 16,
-}).resolved(in_size=8, n_signal=16)
+cfg = tiny_streaming_cfg()
 pipe = TransferPipeline(cfg)
 variables = jax.jit(pipe.init, static_argnums=1)(jax.random.PRNGKey(0), 1)
 streamer = Streamer(cfg, chunk_size=4)
@@ -46,13 +29,7 @@ save_wav("/tmp/nc_t.wav", (0.1 * rng.randn(N * A)).astype(np.float32), cfg.sr)
 
 
 def run(out, nb_steps_cli, ctrl_lines=None):
-    env = dict(os.environ)
-    env["AFTER_PJRT_OPTIONS"] = ("remote_compile=1;local_only=0;priority=0;"
-                                 "topology=v5e:1x1x1;n_slices=1;"
-                                 f"session_id={uuid.uuid4()};rank=4294967295")
-    env["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
-    env["AXON_LOOPBACK_RELAY"] = "1"
-    env.pop("AFTER_NATIVE_CTRL", None)
+    env = axon_env()
     if ctrl_lines is not None:
         with open("/tmp/nc_ctrl.txt", "w") as f:
             f.write(ctrl_lines)

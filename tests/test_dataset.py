@@ -97,8 +97,11 @@ def test_midi_note_pairs_match_piano_roll():
             if v > 0:
                 roll[i, int(p)] = max(roll[i, int(p)], v)
     assert np.array_equal(roll.T, m.get_piano_roll(times))
-    # polyphony truncation keeps the first n_poly active notes
-    assert m.get_note_pairs(times, n_poly=1).shape == (50, 1, 2)
+    # polyphony truncation keeps the FIRST n_poly active notes in note
+    # order: at t=0.75 both pitch 60 (vel 100) and 64 (vel 80) are active
+    trunc = m.get_note_pairs(np.array([0.75]), n_poly=1)
+    assert trunc.shape == (1, 1, 2)
+    assert tuple(trunc[0, 0]) == (60.0, 100.0)
 
 
 def test_midi_collate(tmp_path):
