@@ -134,6 +134,7 @@ def export_autoencoder(args) -> int:
 
     from ..config import load_codec_config
     from ..models import AudioCodec
+    from ..models.autoencoder import decoder_band_delay
     from ..streaming.state import init_stream_state
     from ..utils.checkpoint import restore_checkpoint
 
@@ -168,8 +169,23 @@ def export_autoencoder(args) -> int:
             y, st2 = dec.decode(codec_vars, st, zi)
             return y, jax.tree_util.tree_flatten(st2)[0]
 
+        # fused per-buffer round trip — the reference AE exports register a
+        # `forward` = decode(encode(x)) next to encode/decode
+        # (export_autoencoder.py AE_causal:225-247, AE_notcausal:118-129);
+        # one graph = one native-host dispatch per audio callback
+        fwd_leaves, fwd_treedef = jax.tree_util.tree_flatten(
+            (dec.init_encode_state(codec_vars, 1),
+             dec.init_state(codec_vars, 1)))
+
+        def fwd_fn(ls, xi):
+            est, dst = jax.tree_util.tree_unflatten(fwd_treedef, ls)
+            zi, est2 = dec.encode(codec_vars, est, xi)
+            y, dst2 = dec.decode(codec_vars, dst, zi)
+            return y, jax.tree_util.tree_flatten((est2, dst2))[0]
+
         surfaces = (("encode", enc_fn, enc_state, audio),
-                    ("decode", dec_fn, dec_state, z))
+                    ("decode", dec_fn, dec_state, z),
+                    ("forward", fwd_fn, fwd_leaves, audio))
     else:
         codec = AudioCodec(cfg, streaming=True)
         enc_cache = init_stream_state(codec, audio, method=AudioCodec.encode)
@@ -183,15 +199,28 @@ def export_autoencoder(args) -> int:
                 return y, jax.tree_util.tree_flatten(aux["cache"])[0]
             return fn
 
+        fwd_leaves, fwd_treedef = jax.tree_util.tree_flatten(
+            (enc_cache, dec_cache))
+
+        def fwd_fn(ls, xi):
+            ec, dc = jax.tree_util.tree_unflatten(fwd_treedef, ls)
+            zi, aux = codec.apply({**codec_vars, "cache": ec}, xi,
+                                  method=AudioCodec.encode, mutable=["cache"])
+            y, aux2 = codec.apply({**codec_vars, "cache": dc}, zi,
+                                  method=AudioCodec.decode, mutable=["cache"])
+            return y, jax.tree_util.tree_flatten(
+                (aux["cache"], aux2["cache"]))[0]
+
         surfaces = tuple(
             (name, make_fn(jax.tree_util.tree_flatten(cache)[1], method),
              jax.tree_util.tree_flatten(cache)[0], x)
             for name, cache, x, method in (
                 ("encode", enc_cache, audio, AudioCodec.encode),
-                ("decode", dec_cache, z, AudioCodec.decode)))
+                ("decode", dec_cache, z, AudioCodec.decode))
+        ) + (("forward", fwd_fn, fwd_leaves, audio),)
 
     for name, fn, leaves, x in surfaces:
-        exp = jexport.export(jax.jit(fn))(leaves, x)
+        exp = jexport.export(jax.jit(fn, donate_argnums=(0,)))(leaves, x)
         with open(os.path.join(out, f"{name}.stablehlo"), "wb") as f:
             f.write(exp.serialize())
         with open(os.path.join(out, f"{name}.mlir.bc"), "wb") as f:
@@ -200,14 +229,43 @@ def export_autoencoder(args) -> int:
                  **{f"leaf_{i}": np.asarray(l)
                     for i, l in enumerate(leaves)})
 
+    # native-host layout (native/stream_host.cc codec mode): raw bins of the
+    # fused-forward state + its shapes/dtypes in the manifest, plus the
+    # serialized CompileOptionsProto — same v2 layout as export_streamer
+    sdir = os.path.join(out, "state")
+    os.makedirs(sdir, exist_ok=True)
+    for i, l in enumerate(fwd_leaves):
+        np.asarray(l).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
+    try:
+        from jax._src.lib import _jax as _jaxlib
+        with open(os.path.join(out, "compile_options.pb"), "wb") as f:
+            f.write(_jaxlib.CompileOptions().SerializeAsString())
+    except Exception:
+        pass
+
     with open(os.path.join(out, "manifest.json"), "w") as f:
-        json.dump({"format_version": 1, "ratio": cfg.ratio,
+        json.dump({"format_version": 2, "ratio": cfg.ratio,
                    "z_channels": cfg.z_channels, "sr": cfg.sr,
                    "chunk_size": args.chunk_size,
+                   "audio_chunk": A,
+                   "batch_size": 1,
+                   # marks a codec-only artifact: native hosts stream one
+                   # audio input through `forward` (no timbre/rng/attributes)
+                   "codec_only": 1,
                    "streaming": "crossfade" if crossfade else "cached",
                    "n_fade": args.n_fade if crossfade else 0,
                    # crossfade decode emits audio n_fade latent frames late
                    "decode_lag_frames": args.n_fade if crossfade else 0,
+                   # total decode latency in SAMPLES a host should
+                   # compensate: crossfade overlap, or the causal decoder's
+                   # static transpose-conv delay (decoder_band_delay)
+                   "decode_lag_samples": (
+                       args.n_fade * cfg.ratio if crossfade
+                       else decoder_band_delay(cfg) * cfg.pqmf_bands),
+                   "n_state_leaves": len(fwd_leaves),
+                   "state_shapes": [list(np.shape(l)) for l in fwd_leaves],
+                   "state_dtypes": [str(np.asarray(l).dtype)
+                                    for l in fwd_leaves],
                    "config": json.loads(json.dumps(
                        dataclasses.asdict(cfg)))}, f, indent=2)
     print(f"[export_autoencoder] exported "

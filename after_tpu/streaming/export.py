@@ -221,13 +221,16 @@ class ExportedCodec:
         with open(os.path.join(path, "manifest.json")) as f:
             self.manifest = json.load(f)
         self._fns, self._state = {}, {}
-        for name in ("encode", "decode"):
+        self._names = tuple(
+            n for n in ("encode", "decode", "forward")
+            if os.path.exists(os.path.join(path, f"{n}.stablehlo")))
+        for name in self._names:
             self._fns[name] = jexport.deserialize(
                 open(os.path.join(path, f"{name}.stablehlo"), "rb").read())
         self.reset(path)
 
     def reset(self, path: str):
-        for name in ("encode", "decode"):
+        for name in self._names:
             z = np.load(os.path.join(path, f"{name}_state.npz"))
             self._state[name] = [jnp.asarray(z[k]) for k in sorted(
                 z.files, key=lambda s: int(s.split("_")[1]))]
@@ -245,6 +248,12 @@ class ExportedCodec:
         """(B, chunk, z) latents -> (B, chunk*ratio, 1) audio (delayed by
         manifest["decode_lag_frames"] latent frames on crossfade codecs)."""
         return self._call("decode", z)
+
+    def forward(self, audio):
+        """Fused decode(encode(audio)) round trip in ONE graph — the
+        reference AE exports' `forward` method (export_autoencoder.py
+        AE_causal:225-247); carries its own combined enc+dec state."""
+        return self._call("forward", audio)
 
 
 class ExportedStreamer:

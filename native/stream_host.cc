@@ -471,7 +471,7 @@ int main(int argc, char** argv) {
   }
   argc = static_cast<int>(pos.size());
   argv = pos.data();
-  if (argc < (pcm_mode ? 3 : 6)) {
+  if (argc < 3) {
     std::cerr << "usage: stream_host <artifact_dir> <pjrt_plugin.so> "
                  "<structure.wav> <timbre.wav> <out.wav> "
                  "[n_chunks] [nb_steps] [guidance_timbre] "
@@ -479,12 +479,28 @@ int main(int argc, char** argv) {
                  "   or: stream_host <artifact_dir> <pjrt_plugin.so> --pcm "
                  "[nb_steps] [guidance_timbre] [guidance_structure]\n"
                  "       (interleaved 2ch f32 PCM on stdin -> mono f32 on "
-                 "stdout)\n";
+                 "stdout)\n"
+                 "   or: stream_host <codec_artifact> <pjrt_plugin.so> "
+                 "<in.wav> <out.wav> [n_chunks]   (codec-only artifact)\n"
+                 "   or: stream_host <codec_artifact> <pjrt_plugin.so> "
+                 "--pcm   (mono f32 in -> mono f32 out)\n";
     return 1;
   }
   std::string art = argv[1], plugin = argv[2];
 
   std::string manifest = ReadFile(art + "/manifest.json");
+  // codec-only artifacts (after-tpu export_autoencoder): one audio input
+  // streamed through the fused decode(encode(x)) `forward` — no timbre, no
+  // rng, no attributes (the reference AE exports' nn~ forward method,
+  // export_autoencoder.py AE_causal:225-247).
+  bool codec_mode = JsonInt(manifest, "codec_only", 0) != 0;
+  if (argc < (pcm_mode ? 3 : codec_mode ? 5 : 6)) {
+    std::cerr << "artifact is " << (codec_mode ? "codec-only" : "a2a/midi")
+              << ": expected " << (codec_mode ? "<in.wav> <out.wav>"
+                                              : "<structure> <timbre> <out>")
+              << " (run with no file args for usage)\n";
+    return 1;
+  }
   int64_t format_version = JsonInt(manifest, "format_version", 1);
   int64_t audio_chunk = JsonInt(manifest, "audio_chunk", 8192);
   int64_t chunk = JsonInt(manifest, "chunk_size", 4);
@@ -508,6 +524,10 @@ int main(int argc, char** argv) {
     std::cerr << "--pcm supports batch_size=1 artifacts only\n";
     return 1;
   }
+  if (codec_mode && midi_mode) {
+    std::cerr << "manifest is both codec_only and midi (n_poly > 0)?\n";
+    return 1;
+  }
 
   auto split_list = [](const std::string& s) {
     std::vector<std::string> out;
@@ -523,7 +543,18 @@ int main(int argc, char** argv) {
   std::vector<Wav> in_struct, in_timbre;
   std::vector<std::vector<float>> notes_all;  // per voice
   std::vector<std::string> out_paths;
-  if (!pcm_mode) {
+  if (codec_mode && !pcm_mode) {
+    auto s_list = split_list(argv[3]);
+    out_paths = split_list(argv[4]);
+    if (static_cast<int64_t>(s_list.size()) != n_voices ||
+        static_cast<int64_t>(out_paths.size()) != n_voices) {
+      std::cerr << "artifact batch_size=" << n_voices << ": need "
+                << n_voices << " comma-separated in/out files\n";
+      return 1;
+    }
+    for (int64_t v = 0; v < n_voices; ++v)
+      in_struct.push_back(ReadWav(s_list[v]));
+  } else if (!pcm_mode) {
     auto s_list = split_list(argv[3]);
     auto t_list = split_list(argv[4]);
     out_paths = split_list(argv[5]);
@@ -561,11 +592,15 @@ int main(int argc, char** argv) {
                           (n_poly * 2 * chunk)
                     : static_cast<int64_t>(in_struct[v].samples.size()) /
                           audio_chunk;
-      n_chunks = std::min(
-          {n_chunks, struct_chunks,
-           static_cast<int64_t>(in_timbre[v].samples.size()) / audio_chunk});
+      n_chunks = std::min(n_chunks, struct_chunks);
+      if (!codec_mode)
+        n_chunks = std::min(
+            n_chunks,
+            static_cast<int64_t>(in_timbre[v].samples.size()) / audio_chunk);
     }
-    if (argc > 6) n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[6]));
+    int nc_arg = codec_mode ? 5 : 6;
+    if (argc > nc_arg)
+      n_chunks = std::min<int64_t>(n_chunks, std::atoi(argv[nc_arg]));
   }
 
   // live-settable attributes (manifest format_version >= 2): nb_steps and
@@ -577,10 +612,12 @@ int main(int argc, char** argv) {
   int32_t attr_nb_steps =
       static_cast<int32_t>(JsonInt(manifest, "nb_steps", 1));
   float attr_g_timbre = 1.0f, attr_g_structure = 1.0f;
-  int attr0 = pcm_mode ? 3 : 7;
-  if (argc > attr0) attr_nb_steps = std::atoi(argv[attr0]);
-  if (argc > attr0 + 1) attr_g_timbre = std::atof(argv[attr0 + 1]);
-  if (argc > attr0 + 2) attr_g_structure = std::atof(argv[attr0 + 2]);
+  if (!codec_mode) {
+    int attr0 = pcm_mode ? 3 : 7;
+    if (argc > attr0) attr_nb_steps = std::atoi(argv[attr0]);
+    if (argc > attr0 + 1) attr_g_timbre = std::atof(argv[attr0 + 1]);
+    if (argc > attr0 + 2) attr_g_structure = std::atof(argv[attr0 + 2]);
+  }
 
   PjrtHost host(plugin);
   std::string copts = FileExists(art + "/compile_options.pb")
@@ -603,10 +640,13 @@ int main(int argc, char** argv) {
   // 237 -> well-under-budget ms/buffer through a remote PJRT relay.  MIDI
   // artifacts have no `forward`; AFTER_NATIVE_SPLIT=1 forces the split
   // path for debugging.
-  bool fused = !midi_mode && FileExists(art + "/forward.mlir.bc") &&
-               !std::getenv("AFTER_NATIVE_SPLIT");
+  bool fused = codec_mode ||
+               (!midi_mode && FileExists(art + "/forward.mlir.bc") &&
+                !std::getenv("AFTER_NATIVE_SPLIT"));
   std::cerr << "[stream_host] compiling methods ("
-            << (midi_mode ? "midi" : fused ? "fused forward" : "split")
+            << (codec_mode ? "codec forward"
+                           : midi_mode ? "midi"
+                                       : fused ? "fused forward" : "split")
             << ")...\n";
   auto t_compile0 = std::chrono::steady_clock::now();
   Method m_forward = fused ? compile_method("forward") : Method{};
@@ -675,19 +715,22 @@ int main(int argc, char** argv) {
   };
 
   // fills buf_s/buf_t for chunk c; false at end of input
-  std::vector<float> pcm_frame(2 * audio_chunk);
+  // pcm frames: 2ch interleaved (structure, timbre) for a2a; mono for codec
+  int64_t pcm_ch = codec_mode ? 1 : 2;
+  std::vector<float> pcm_frame(pcm_ch * audio_chunk);
   auto next_chunk = [&](int64_t c) -> bool {
     if (pcm_mode) {
       size_t got = std::fread(pcm_frame.data(), 4, pcm_frame.size(), stdin);
       if (got < pcm_frame.size()) {  // EOF
         if (got > 0)
           std::cerr << "[stream_host] dropping trailing partial buffer ("
-                    << got / 2 << " of " << audio_chunk << " samples)\n";
+                    << got / pcm_ch << " of " << audio_chunk
+                    << " samples)\n";
         return false;
       }
       for (int64_t i = 0; i < audio_chunk; ++i) {
-        buf_s[i] = pcm_frame[2 * i];
-        buf_t[i] = pcm_frame[2 * i + 1];
+        buf_s[i] = pcm_frame[pcm_ch * i];
+        if (!codec_mode) buf_t[i] = pcm_frame[2 * i + 1];
       }
       return true;
     }
@@ -701,15 +744,17 @@ int main(int argc, char** argv) {
         std::memcpy(buf_s.data() + v * audio_chunk,
                     in_struct[v].samples.data() + c * audio_chunk,
                     audio_chunk * 4);
-      std::memcpy(buf_t.data() + v * audio_chunk,
-                  in_timbre[v].samples.data() + c * audio_chunk,
-                  audio_chunk * 4);
+      if (!codec_mode)
+        std::memcpy(buf_t.data() + v * audio_chunk,
+                    in_timbre[v].samples.data() + c * audio_chunk,
+                    audio_chunk * 4);
     }
     return true;
   };
 
   if (pcm_mode)
-    std::cerr << "[stream_host] live PCM mode: 2ch f32 in, mono f32 out, "
+    std::cerr << "[stream_host] live PCM mode: " << (codec_mode ? 1 : 2)
+              << "ch f32 in, mono f32 out, "
               << audio_chunk << " samples/buffer\n";
   else
     std::cerr << "[stream_host] streaming " << n_chunks << " chunks of "
@@ -721,7 +766,7 @@ int main(int argc, char** argv) {
   // transfers (relay round trips) per audio callback.  A live host that
   // changes an attribute between buffers re-uploads just that scalar.
   std::vector<PJRT_Buffer*> attr_bufs;
-  if (format_version >= 2) {
+  if (format_version >= 2 && !codec_mode) {
     std::vector<int64_t> scalar_dims;  // rank-0
     attr_bufs.push_back(host.ToDevice(&attr_nb_steps, PJRT_Buffer_Type_S32,
                                       scalar_dims));
@@ -747,8 +792,9 @@ int main(int argc, char** argv) {
       std::cerr << "[stream_host] WARNING: cannot open AFTER_NATIVE_CTRL "
                 << p << " — live attribute control disabled\n";
     else if (attr_bufs.empty()) {
-      std::cerr << "[stream_host] WARNING: artifact format_version < 2 has "
-                   "no runtime attributes — AFTER_NATIVE_CTRL ignored\n";
+      std::cerr << "[stream_host] WARNING: artifact has no runtime "
+                   "attributes (codec-only or format_version < 2) — "
+                   "AFTER_NATIVE_CTRL ignored\n";
       close(ctrl_fd);
       ctrl_fd = -1;
     }
@@ -816,7 +862,17 @@ int main(int argc, char** argv) {
     poll_ctrl();
     rng_data[0] = static_cast<uint32_t>(c + 1);
     PJRT_Buffer* y;
-    if (fused) {
+    if (codec_mode) {
+      // one dispatch per buffer: forward(state, x) = decode(encode(x))
+      auto t0 = now();
+      std::vector<PJRT_Buffer*> args{
+          host.ToDevice(buf_s.data(), PJRT_Buffer_Type_F32, audio_dims)};
+      auto t1 = now();
+      y = run_state_method(m_forward, args);
+      auto t2 = now();
+      t_upload += secs(t0, t1);
+      t_exec += secs(t1, t2);
+    } else if (fused) {
       // one dispatch per buffer: forward(state, a, b, rng, attrs...)
       auto t0 = now();
       std::vector<PJRT_Buffer*> args{

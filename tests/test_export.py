@@ -334,6 +334,9 @@ def test_export_autoencoder_crossfade_cli(tmp_path):
         y_exp = host.decode(z_exp)
         np.testing.assert_allclose(np.asarray(y_exp), np.asarray(y_live),
                                    atol=1e-5)
+        # fused forward (own combined state) tracks the same chain
+        np.testing.assert_allclose(np.asarray(host.forward(chunk)),
+                                   np.asarray(y_live), atol=1e-5)
         outs.append(np.asarray(y_exp))
     y_stream = np.concatenate(outs, axis=1)
 
@@ -348,6 +351,77 @@ def test_export_autoencoder_crossfade_cli(tmp_path):
     err = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a ** 2)) + 1e-9)
     assert np.isfinite(err) and err < 1.2, \
         f"crossfade artifact unboundedly far from offline: {err}"
+
+
+def test_export_autoencoder_causal_native_layout(tmp_path):
+    """Codec-only artifacts carry a fused decode∘encode `forward` plus the
+    native-host v2 layout (state/leaf_*.bin, shapes/dtypes, codec_only
+    marker) so native/stream_host serves them directly — the reference AE
+    exports' nn~ forward (export_autoencoder.py AE_causal:225-247)."""
+    import json
+
+    from after_tpu.cli.main import main as cli_main
+    from after_tpu.config import AutoEncoderConfig, ae_to_json
+    from after_tpu.models import AudioCodec
+    from after_tpu.streaming.export import ExportedCodec
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1,
+                            causal=True, use_norm=False)
+    codec = AudioCodec(cfg)
+    variables = jax.jit(codec.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, cfg.ratio * 32, 1)))
+    run = tmp_path / "codec_run"
+    save_checkpoint(str(run), 0, {"codec_vars": variables},
+                    config_json=ae_to_json(cfg))
+
+    out = tmp_path / "artifact"
+    rc = cli_main(["export_autoencoder", "--model_path", str(run),
+                   "--chunk_size", "8", "--out", str(out)])
+    assert rc == 0
+
+    manifest = json.load(open(out / "manifest.json"))
+    assert manifest["streaming"] == "cached"
+    assert manifest["codec_only"] == 1
+    assert manifest["audio_chunk"] == 8 * cfg.ratio
+    assert manifest["n_state_leaves"] == len(manifest["state_shapes"])
+    # raw state bins the native host maps onto device buffers
+    for i, (shape, dt) in enumerate(zip(manifest["state_shapes"],
+                                        manifest["state_dtypes"])):
+        p = out / "state" / f"leaf_{i}.bin"
+        assert p.exists()
+        itemsize = 2 if dt == "bfloat16" else 4
+        assert p.stat().st_size == int(np.prod(shape or [1])) * itemsize
+    assert (out / "forward.mlir.bc").exists()
+
+    # forward == the per-method encode->decode chain, buffer by buffer
+    rng = np.random.RandomState(0)
+    audio = (0.1 * rng.randn(1, 32 * cfg.ratio, 1)).astype(np.float32)
+    host = ExportedCodec(str(out))
+    A = 8 * cfg.ratio
+    ys = []
+    for i in range(0, 32 * cfg.ratio, A):
+        chunk = jnp.asarray(audio[:, i:i + A])
+        y_fwd = host.forward(chunk)
+        y_chain = host.decode(host.encode(chunk))
+        np.testing.assert_allclose(np.asarray(y_fwd), np.asarray(y_chain),
+                                   atol=1e-5)
+        ys.append(np.asarray(y_fwd))
+
+    # and (causal, norm-free) streamed forward == the offline round trip
+    # after the decoder's static transpose-conv delay + warm-up transient
+    y_off = np.asarray(codec.apply(
+        variables, codec.apply(variables, jnp.asarray(audio),
+                               method=AudioCodec.encode),
+        method=AudioCodec.decode))[0, :, 0]
+    y_stream = np.concatenate(ys, axis=1)[0, :, 0]
+    lag = manifest["decode_lag_samples"]
+    skip = 8 * cfg.ratio
+    a = y_off[skip:len(y_stream) - lag]
+    b = y_stream[skip + lag:]
+    np.testing.assert_allclose(b, a, atol=1e-4)
 
 
 def test_export_cli_rejects_noncausal_codec(tmp_path):
