@@ -9,9 +9,10 @@
     after-tpu export            a2a streaming export
     after-tpu export_midi       midi-to-audio streaming export
 
-plus two surfaces beyond the reference CLI: `import_torch` (port reference
-PyTorch checkpoints) and `serve` (local web XY-pad UI, the equivalent of the
-reference's Max4Live device layer, after.m4l/afterv2.js).
+plus three surfaces beyond the reference CLI: `import_torch` (port reference
+PyTorch checkpoints), `import_dataset` (convert reference LMDB datasets to
+the record store, no liblmdb needed), and `serve` (local web XY-pad UI, the
+equivalent of the reference's Max4Live device layer, after.m4l/afterv2.js).
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import sys
 
 AVAILABLE = ["prepare_dataset", "update_dataset", "train_autoencoder",
              "export_autoencoder", "train", "export", "export_midi",
-             "import_torch", "serve"]
+             "import_torch", "import_dataset", "serve"]
 
 
 def main(argv=None):
@@ -47,6 +48,9 @@ def main(argv=None):
     if cmd == "import_torch":
         from . import import_torch
         return import_torch.main(rest)
+    if cmd == "import_dataset":
+        from . import import_dataset
+        return import_dataset.main(rest)
     if cmd == "serve":
         from . import serve
         return serve.main(rest)
