@@ -1,0 +1,269 @@
+"""Full production pipeline at base scale on the real TPU, through the CLIs.
+
+The reference README's three-stage workflow (train_autoencoder ->
+prepare_dataset -> train -> export, /root/reference/README.md:21-23) run
+end-to-end at REAL sizes (baseAE codec, base+cycle diffusion config,
+batch 64) on one v5e chip, with a forced mid-run restart to prove
+full-state resume in anger:
+
+  1. synthesize a 96-file tonal corpus (~10 min of audio)
+  2. after-tpu prepare_dataset           (raw waveform store)
+  3. after-tpu train_autoencoder         3k steps, GAN engages at 1.5k
+  4. after-tpu prepare_dataset           (latents + 2 PSTS augments)
+  5. after-tpu train                     15k steps (phase 1 -> phase 2)
+  6. after-tpu train --restart 15000     -> 30k steps (cycle joins at 10k)
+  7. after-tpu export                    streaming artifacts
+  8. ExportedStreamer playback sanity    (finite audio out, state threads)
+
+Each stage is its own subprocess (one TPU session at a time).  Progress
+and a final summary land in WORK/scale_run_summary.json.  Stage logs in
+WORK/logs/.  Expected wall: 60-90 min, dominated by AE training + remote
+compiles on a cold cache.
+
+Usage:  python scripts/scale_run.py [--work /tmp/after_scale] [--fast]
+        (--fast cuts steps 10x for a smoke pass)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SR = 44100
+NUM_SIGNAL = 524288
+
+
+def log(m):
+    print(f"[scale_run] {m}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus synthesis (numpy only; melodic + timbral variety)
+# ---------------------------------------------------------------------------
+
+def synth_corpus(out_dir, n_files, rng):
+    import numpy as np
+    sys.path.insert(0, REPO)
+    from after_tpu.dataset.audio import save_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = int(NUM_SIGNAL * 1.05)
+    t = np.arange(n) / SR
+    scale = 110.0 * 2 ** (np.array([0, 2, 3, 5, 7, 8, 10, 12]) / 12.0)
+
+    def melody_f0(n_notes):
+        notes = rng.choice(scale, n_notes) * 2 ** rng.randint(0, 3)
+        seg = n // n_notes
+        f0 = np.repeat(notes, seg)[:n]
+        return np.pad(f0, (0, n - len(f0)), mode="edge")
+
+    def envelope(n_notes):
+        seg = n // n_notes
+        e = np.concatenate([np.exp(-4.0 * np.arange(seg) / seg)] * n_notes)
+        return np.pad(e[:n], (0, max(0, n - len(e))), mode="edge")
+
+    for i in range(n_files):
+        kind = i % 4
+        f0 = melody_f0(rng.randint(6, 16))
+        phase = 2 * np.pi * np.cumsum(f0) / SR
+        if kind == 0:      # FM voice
+            ratio = rng.choice([0.5, 1.0, 2.0, 3.0])
+            index = rng.uniform(0.5, 4.0)
+            x = np.sin(phase + index * np.sin(ratio * phase))
+        elif kind == 1:    # plucked harmonics
+            x = sum(np.sin((k + 1) * phase) / (k + 1) ** rng.uniform(0.5, 1.5)
+                    for k in range(6)) * envelope(rng.randint(8, 24))
+        elif kind == 2:    # detuned saw pad
+            x = sum(np.sin(phase * d) for d in (0.995, 1.0, 1.005))
+            x += 0.3 * np.sin(2 * phase)
+        else:              # noisy breath + tone
+            band = np.convolve(rng.randn(n), np.ones(32) / 32, "same")
+            x = 0.6 * np.sin(phase) + 0.4 * band * envelope(8)
+        x = np.tanh(1.5 * x / np.max(np.abs(x) + 1e-9))
+        tremolo = 1.0 + 0.1 * np.sin(2 * np.pi * rng.uniform(0.5, 6.0) * t)
+        save_wav(os.path.join(out_dir, f"tone_{i:03d}.wav"),
+                 (x * tremolo * 0.8).astype(np.float32), SR)
+    log(f"corpus: {n_files} files x {n / SR:.1f}s -> {out_dir}")
+
+
+# ---------------------------------------------------------------------------
+# stage runner
+# ---------------------------------------------------------------------------
+
+def run_stage(name, argv, work, env_extra=None, timeout=7200):
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    env.update(env_extra or {})
+    logf = os.path.join(work, "logs", f"{name}.log")
+    os.makedirs(os.path.dirname(logf), exist_ok=True)
+    t0 = time.time()
+    log(f"stage {name}: {' '.join(argv)}")
+    with open(logf, "w") as f:
+        rc = subprocess.call([sys.executable, "-m", "after_tpu.cli.main"]
+                             + argv, cwd=REPO, env=env, stdout=f,
+                             stderr=subprocess.STDOUT, timeout=timeout)
+    dt = time.time() - t0
+    log(f"stage {name}: rc={rc} in {dt / 60:.1f} min (log: {logf})")
+    if rc != 0:
+        tail = subprocess.run(["tail", "-25", logf], capture_output=True,
+                              text=True).stdout
+        raise SystemExit(f"stage {name} FAILED rc={rc}\n{tail}")
+    return dt
+
+
+def metrics_summary(run_dir, keys=("loss_diffusion", "loss_total")):
+    path = os.path.join(run_dir, "metrics.jsonl")
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except ValueError:
+                    pass
+    out = {"n_rows": len(rows)}
+    for key in keys:
+        vals = [(r.get("step"), r[key]) for r in rows if key in r]
+        if vals:
+            out[key] = {"first": vals[0], "last": vals[-1],
+                        "min": min(v for _, v in vals)}
+    steps = [r["step"] for r in rows if "steps_per_sec" in r]
+    sps = [r["steps_per_sec"] for r in rows if "steps_per_sec" in r]
+    if sps:
+        out["steps_per_sec_median"] = sorted(sps)[len(sps) // 2]
+        out["steps_per_sec_last"] = sps[-1]
+        out["last_step"] = steps[-1]
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/after_scale")
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--skip_to", type=int, default=0,
+                    help="resume the pipeline at stage N (1-8)")
+    args = ap.parse_args()
+    work = args.work
+    os.makedirs(work, exist_ok=True)
+    div = 10 if args.fast else 1
+
+    corpus = os.path.join(work, "corpus")
+    db_raw = os.path.join(work, "db_raw")
+    db = os.path.join(work, "db")
+    runs = os.path.join(work, "runs")
+    summary = {"work": work, "fast": args.fast, "stages": {}}
+
+    ae_steps = 3000 // div
+    ae_warm = 1500 // div
+    dif_mid = 15000 // div
+    dif_end = 30000 // div
+
+    def record(name, dt):
+        summary["stages"][name] = {"minutes": round(dt / 60, 2)}
+        with open(os.path.join(work, "scale_run_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+
+    if args.skip_to <= 1:
+        import numpy as np
+        synth_corpus(corpus, n_files=96, rng=np.random.RandomState(7))
+
+    if args.skip_to <= 2:
+        dt = run_stage("prepare_raw", [
+            "prepare_dataset", "--input_path", corpus, "--output_path",
+            db_raw, "--save_waveform"], work)
+        record("prepare_raw", dt)
+
+    if args.skip_to <= 3:
+        dt = run_stage("train_ae", [
+            "train_autoencoder", "--name", "scale_codec", "--db_path",
+            db_raw, "--out_path", runs, "--max_steps", str(ae_steps),
+            "--override", f"train.warmup_steps={ae_warm}",
+            "--override", f"train.steps_save={ae_steps // 2}",
+            "--override", f"train.steps_valid={ae_steps // 3}",
+        ], work)
+        record("train_ae", dt)
+        summary["stages"]["train_ae"]["metrics"] = metrics_summary(
+            os.path.join(runs, "scale_codec"),
+            keys=("mrstft", "total_loss", "feature_matching", "val_mrstft"))
+
+    if args.skip_to <= 4:
+        dt = run_stage("prepare_latents", [
+            "prepare_dataset", "--input_path", corpus, "--output_path", db,
+            "--emb_model_path", os.path.join(runs, "scale_codec"),
+            "--augmentations", "2"], work)
+        record("prepare_latents", dt)
+
+    dif_common = [
+        "train", "--name", "scale_dif", "--db_path", db,
+        "--emb_model_path", os.path.join(runs, "scale_codec"),
+        "--out_path", runs, "--config", "base", "--config", "cycle",
+        "--batch_size", "64", "--rng_impl", "rbg",
+        "--compute_dtype", "bfloat16", "--augmentation_keys", "all",
+        "--override", f"train.timbre_warmup={6000 // div}",
+        "--override", f"train.cycle_start_step={10000 // div}",
+        "--override", f"train.steps_valid={2500 // div}",
+        "--override", f"train.steps_save={7500 // div}",
+    ]
+    if args.skip_to <= 5:
+        dt = run_stage("train_dif_p1",
+                       dif_common + ["--max_steps", str(dif_mid)], work)
+        record("train_dif_p1", dt)
+
+    if args.skip_to <= 6:
+        dt = run_stage("train_dif_p2", dif_common + [
+            "--max_steps", str(dif_end), "--restart", str(dif_mid)], work)
+        record("train_dif_p2", dt)
+        summary["stages"]["train_dif_p2"]["metrics"] = metrics_summary(
+            os.path.join(runs, "scale_dif"),
+            keys=("diffusion_loss", "adversarial_loss", "cycle_cond",
+                  "val_diffusion_loss", "skipped_nonfinite"))
+
+    if args.skip_to <= 7:
+        dt = run_stage("export", [
+            "export", "--model_path", os.path.join(runs, "scale_dif"),
+            "--emb_model_path", os.path.join(runs, "scale_codec"),
+            "--nb_steps", "4"], work)
+        record("export", dt)
+
+    if args.skip_to <= 8:
+        # exported-artifact playback through the Python host (stage 8 runs
+        # inline: ExportedStreamer is this process's only TPU session)
+        sys.path.insert(0, REPO)
+        import jax
+        import numpy as np
+        from after_tpu.streaming.export import ExportedStreamer
+        art = None
+        for d in sorted(os.listdir(os.path.join(runs, "scale_dif"))):
+            if d.startswith("after.audio"):
+                art = os.path.join(runs, "scale_dif", d)
+        assert art, "no exported artifact found"
+        t0 = time.time()
+        st = ExportedStreamer(art)
+        rng = np.random.RandomState(0)
+        n = st.manifest["audio_chunk"]
+        peak = 0.0
+        for i in range(8):
+            x = 0.3 * np.sin(2 * np.pi * 220 * (i * n + np.arange(n)) / SR
+                             ).astype(np.float32)
+            y = st.call("forward", x[None, :, None],
+                        0.1 * rng.randn(1, n, 1).astype(np.float32),
+                        jax.random.key_data(jax.random.PRNGKey(i)))
+            y = np.asarray(y)
+            assert np.isfinite(y).all(), "non-finite streamed audio"
+            peak = max(peak, float(np.abs(y).max()))
+        summary["stages"]["stream_playback"] = {
+            "minutes": round((time.time() - t0) / 60, 2),
+            "buffers": 8, "peak": peak}
+
+    with open(os.path.join(work, "scale_run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    log("DONE " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
