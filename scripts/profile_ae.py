@@ -156,6 +156,80 @@ if "disc_fwd" in PARTS:
         best.append((time.perf_counter() - t0) / N)
     record("disc_fwd", min(best), fl)
 
+
+# ---- backward components (each returns loss + a grad-dependent scalar so
+# the backward isn't dead-code-eliminated; chained like the forwards) ------
+
+def _touch(grads):
+    return jax.tree_util.tree_reduce(
+        lambda a, g: a + g.ravel()[0], grads, jnp.float32(0))
+
+
+@jax.jit
+def codec_grad_fn(codec_vars, x, rng):
+    def loss(p):
+        y, yb, z, regloss, xb = trainer.codec.apply(
+            {**codec_vars, "params": p}, x, rng=rng,
+            rngs={"noise": jax.random.fold_in(rng, 1)})
+        return jnp.mean(y * y) + regloss
+    l, g = jax.value_and_grad(loss)(codec_vars["params"])
+    return l + 1e-9 * _touch(g)
+
+
+@jax.jit
+def mrstft_grad_fn(x, y):
+    n = min(x.shape[1], y.shape[1])
+
+    def loss(yy):
+        return multi_resolution_stft_loss(x[:, :n], yy, trainer.tc,
+                                          trainer.cfg.sr)
+    l, g = jax.value_and_grad(loss)(y[:, :n])
+    return l + 1e-9 * g.ravel()[0]
+
+
+@jax.jit
+def disc_grad_fn(disc_vars, x, y):
+    n = min(x.shape[1], y.shape[1])
+
+    def loss(yy):
+        loss_gen, _, _ = trainer.disc.apply(disc_vars, x[:, :n], yy)
+        return loss_gen
+    l, g = jax.value_and_grad(loss)(y[:, :n])
+    return l + 1e-9 * g.ravel()[0]
+
+
+def _run_chained(name, fn, arg):
+    """fn: jitted single-array function; timed with chained perturbation."""
+    fl = flops_of(fn, arg)
+    jax.block_until_ready(fn(arg))
+    best = []
+    for b in range(3):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(N):
+            acc = fn(arg + 1e-12 * acc)
+        assert np.isfinite(float(jax.device_get(acc)))
+        best.append((time.perf_counter() - t0) / N)
+    record(name, min(best), fl)
+
+
+if {"codec_grad", "mrstft_grad", "disc_grad"} & set(PARTS) and y0 is None:
+    y0, *_ = trainer.codec.apply(state.codec_vars, x,
+                                 rng=jax.random.PRNGKey(9))
+    y0 = jax.block_until_ready(y0)
+
+if "codec_grad" in PARTS:
+    _run_chained("codec_grad",
+                 jax.jit(lambda cx: codec_grad_fn(state.codec_vars, cx,
+                                                  jax.random.PRNGKey(1))), x)
+if "mrstft_grad" in PARTS:
+    _run_chained("mrstft_grad", jax.jit(lambda cx: mrstft_grad_fn(cx, y0)),
+                 x)
+if "disc_grad" in PARTS:
+    _run_chained("disc_grad",
+                 jax.jit(lambda cy: disc_grad_fn(state.disc_vars, x, cy)),
+                 y0)
+
 print(json.dumps({"metric": "ae_gen_step_decomposition", "batch": B,
                   "num_signal": NUM_SIGNAL,
                   "parts_ms": {k: v["ms"] for k, v in results.items()},
