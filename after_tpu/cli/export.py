@@ -232,16 +232,9 @@ def export_autoencoder(args) -> int:
     # native-host layout (native/stream_host.cc codec mode): raw bins of the
     # fused-forward state + its shapes/dtypes in the manifest, plus the
     # serialized CompileOptionsProto — same v2 layout as export_streamer
-    sdir = os.path.join(out, "state")
-    os.makedirs(sdir, exist_ok=True)
-    for i, l in enumerate(fwd_leaves):
-        np.asarray(l).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
-    try:
-        from jax._src.lib import _jax as _jaxlib
-        with open(os.path.join(out, "compile_options.pb"), "wb") as f:
-            f.write(_jaxlib.CompileOptions().SerializeAsString())
-    except Exception:
-        pass
+    from ..streaming.export import write_compile_options, write_state_bins
+    write_state_bins(os.path.join(out, "state"), fwd_leaves)
+    write_compile_options(out)
 
     with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump({"format_version": 2, "ratio": cfg.ratio,

@@ -133,9 +133,17 @@ class LmdbReader:
                 oflags = struct.unpack_from("<H", m, ooff + 10)[0]
                 if not oflags & P_OVERFLOW:
                     raise ValueError(f"page {opg} is not an overflow page")
+                if ooff + 16 + dsize > len(m):
+                    raise ValueError(
+                        f"overflow chain at page {opg} extends past EOF "
+                        f"(truncated data.mdb?)")
                 yield key, bytes(m[ooff + 16:ooff + 16 + dsize])
             else:
                 doff = noff + 8 + ksize
+                if doff + dsize > len(m):
+                    raise ValueError(
+                        f"leaf value on page {pgno} extends past EOF "
+                        f"(truncated data.mdb?)")
                 yield key, bytes(m[doff:doff + dsize])
 
 
@@ -169,12 +177,18 @@ def _iter_fields(b: bytes) -> Iterator[Tuple[int, int, bytes]]:
             yield fnum, 0, v
         elif wtype == 2:
             ln, i = _varint(b, i)
+            if i + ln > n:
+                raise ValueError("truncated length-delimited field")
             yield fnum, 2, b[i:i + ln]
             i += ln
         elif wtype == 5:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32 field")
             yield fnum, 5, b[i:i + 4]
             i += 4
         elif wtype == 1:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64 field")
             yield fnum, 1, b[i:i + 8]
             i += 8
         else:
@@ -184,6 +198,8 @@ def _iter_fields(b: bytes) -> Iterator[Tuple[int, int, bytes]]:
 def _varint(b: bytes, i: int) -> Tuple[int, int]:
     out = shift = 0
     while True:
+        if i >= len(b) or shift > 63:
+            raise ValueError("truncated or over-long varint")
         c = b[i]
         out |= (c & 0x7F) << shift
         i += 1
@@ -309,9 +325,11 @@ def convert_example(buffers: Dict[str, RefBuffer],
     for name, buf in buffers.items():
         if name == "metadata":
             try:
-                meta.update(json.loads(buf.data.decode()))
+                decoded = json.loads(buf.data.decode())
             except (ValueError, UnicodeDecodeError):
-                pass
+                decoded = None
+            if isinstance(decoded, dict):
+                meta.update(decoded)
             continue
         if name == "midi":
             blob = pickle.dumps(midi_from_pretty_midi_pickle(buf.data))
@@ -324,6 +342,13 @@ def convert_example(buffers: Dict[str, RefBuffer],
         arr = np.frombuffer(buf.data, dtype=dtype)
         if buf.shape:
             arr = arr.reshape(buf.shape)
+        if dtype is np.int64 and arr.size and (
+                arr.max() > np.iinfo(np.int32).max
+                or arr.min() < np.iinfo(np.int32).min):
+            # silent int32 wraparound would corrupt the migrated store
+            raise ValueError(
+                f"buffer {name!r}: int64 values exceed the int32 range "
+                "supported by the after_tpu store")
         arr = arr.astype(_NARROW.get(dtype, dtype), copy=False)
         ae.put_array(name, arr, sampling_rate=buf.sampling_rate)
     if meta:
@@ -339,19 +364,29 @@ def import_lmdb(input_path: str, output_path: str,
     Returns the number of records written.
     """
     from .store import RecordWriter
-    n = 0
+    n = skipped = 0
     with LmdbReader(input_path) as reader, \
             RecordWriter(output_path) as writer:
         for key, value in reader.items():
-            buffers, metadata = parse_reference_example(value)
-            if not buffers:
-                continue    # not an AudioExample (stray bookkeeping key)
-            writer.put(key.decode("utf-8", "replace"),
-                       convert_example(buffers, metadata).serialize())
+            # one unparseable record (truncated protobuf, foreign value,
+            # bad pickle) must not abort an hours-long migration
+            try:
+                buffers, metadata = parse_reference_example(value)
+                if not buffers:
+                    continue    # not an AudioExample (stray bookkeeping key)
+                example = convert_example(buffers, metadata).serialize()
+            except (ValueError, TypeError, KeyError, UnicodeDecodeError,
+                    pickle.UnpicklingError, EOFError) as e:
+                skipped += 1
+                log(f"[import_dataset] skipping record "
+                    f"{key.decode('utf-8', 'replace')!r}: {e}")
+                continue
+            writer.put(key.decode("utf-8", "replace"), example)
             n += 1
             if n % 500 == 0:
                 log(f"[import_dataset] {n} records...")
             if max_records is not None and n >= max_records:
                 break
-    log(f"[import_dataset] wrote {n} records to {output_path}")
+    log(f"[import_dataset] wrote {n} records to {output_path}"
+        + (f" ({skipped} unparseable records skipped)" if skipped else ""))
     return n

@@ -38,6 +38,27 @@ def _flatten_state(state: StreamState):
     return leaves, treedef
 
 
+def write_compile_options(out_dir: str) -> None:
+    """Serialized CompileOptionsProto for the native PJRT host.
+
+    Shared by export_streamer and the codec-only export (cli/export.py) so
+    the jax-private API access lives in exactly one place.
+    """
+    try:
+        from jax._src.lib import _jax as _jaxlib
+        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+            f.write(_jaxlib.CompileOptions().SerializeAsString())
+    except Exception:
+        pass
+
+
+def write_state_bins(sdir: str, leaves) -> None:
+    """Raw per-leaf state bins (the v2 native-host state layout)."""
+    os.makedirs(sdir, exist_ok=True)
+    for i, leaf in enumerate(leaves):
+        np.asarray(leaf).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
+
+
 def export_streamer(streamer: Streamer, variables: Dict[str, Any],
                     out_dir: str, nb_steps: int = 1,
                     guidance_timbre: float = 1.0,
@@ -153,13 +174,7 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
             with open(os.path.join(out_dir, f"{name}.mlir.bc"), "wb") as f:
                 f.write(exp.mlir_module_serialized)
 
-    # serialized CompileOptionsProto for the native host
-    try:
-        from jax._src.lib import _jax as _jaxlib
-        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
-            f.write(_jaxlib.CompileOptions().SerializeAsString())
-    except Exception:
-        pass
+    write_compile_options(out_dir)
 
     # initial state + treedef layout (npz can't hold bfloat16 — store the
     # raw bits and reconstruct from state_dtypes in the manifest)
@@ -172,8 +187,7 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
 
     np.savez(os.path.join(sdir, "initial_state.npz"),
              **{f"leaf_{i}": storable(l) for i, l in enumerate(leaves)})
-    for i, l in enumerate(leaves):
-        np.asarray(l).tofile(os.path.join(sdir, f"leaf_{i}.bin"))
+    write_state_bins(sdir, leaves)
     manifest = {
         "format_version": 2,
         "methods": streamer.method_specs(),

@@ -213,7 +213,7 @@ def _run_chained(name, fn, arg):
     record(name, min(best), fl)
 
 
-if {"codec_grad", "mrstft_grad", "disc_grad"} & set(PARTS) and y0 is None:
+if {"mrstft_grad", "disc_grad"} & set(PARTS) and y0 is None:
     y0, *_ = trainer.codec.apply(state.codec_vars, x,
                                  rng=jax.random.PRNGKey(9))
     y0 = jax.block_until_ready(y0)

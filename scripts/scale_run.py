@@ -103,10 +103,18 @@ def run_stage(name, argv, work, env_extra=None, timeout=7200):
     os.makedirs(os.path.dirname(logf), exist_ok=True)
     t0 = time.time()
     log(f"stage {name}: {' '.join(argv)}")
-    with open(logf, "w") as f:
-        rc = subprocess.call([sys.executable, "-m", "after_tpu.cli.main"]
-                             + argv, cwd=REPO, env=env, stdout=f,
-                             stderr=subprocess.STDOUT, timeout=timeout)
+    try:
+        with open(logf, "w") as f:
+            rc = subprocess.call([sys.executable, "-m", "after_tpu.cli.main"]
+                                 + argv, cwd=REPO, env=env, stdout=f,
+                                 stderr=subprocess.STDOUT, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        tail = subprocess.run(["tail", "-25", logf], capture_output=True,
+                              text=True).stdout
+        raise SystemExit(
+            f"stage {name} TIMED OUT after {timeout / 60:.0f} min and was "
+            f"killed. The TPU session claim may linger for several minutes "
+            f"— wait before rerunning with --skip_to.\n{tail}")
     dt = time.time() - t0
     log(f"stage {name}: rc={rc} in {dt / 60:.1f} min (log: {logf})")
     if rc != 0:
@@ -233,6 +241,10 @@ def main():
     if args.skip_to <= 8:
         # exported-artifact playback through the Python host (stage 8 runs
         # inline: ExportedStreamer is this process's only TPU session)
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              os.path.join(REPO, ".jax_cache"))
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                              "1")
         sys.path.insert(0, REPO)
         import jax
         import numpy as np

@@ -312,3 +312,90 @@ def test_import_dataset_end_to_end(tmp_path):
     ds = SimpleDataset(out, keys=("waveform", "z"), split=None)
     item = ds[2]
     np.testing.assert_array_equal(item["z"], arrays[2]["z"])
+
+
+def test_import_skips_unparseable_and_overflowing_records(tmp_path):
+    """One bad record must not abort a long migration; int64 values that
+    would wrap in int32 are rejected per-record, not silently corrupted."""
+    pb2 = _load_ref_pb2()
+    records, _ = _make_reference_records(pb2, n=3, with_midi=False)
+
+    # a value protobuf can't parse (wire type 7 in the first tag)
+    records.insert(1, (b"00000000.garbage", b"\x07\x01\x02"))
+
+    # an int64 buffer whose values exceed the int32 range
+    ae = pb2.AudioExample()
+    buf = ae.buffers["onsets"]
+    arr = np.array([1, 2 ** 31 + 5], np.int64)
+    buf.data = arr.tobytes()
+    buf.shape.extend(arr.shape)
+    buf.precision = pb2.AudioExample.INT64
+    records.append((b"zz_int64", ae.SerializeToString()))
+
+    records.sort(key=lambda kv: kv[0])
+    db, out = str(tmp_path / "ref_db"), str(tmp_path / "store")
+    write_minimal_lmdb(db, records)
+
+    logs = []
+    from after_tpu.dataset.lmdb_import import import_lmdb as imp
+    n = imp(db, out, log=logs.append)
+    assert n == 3                      # the 3 clean records survive
+    joined = "\n".join(logs)
+    assert "garbage" in joined and "int32 range" in joined
+    assert len(RecordReader(out)) == 3
+
+
+def test_import_int64_within_range_narrows(tmp_path):
+    pb2 = _load_ref_pb2()
+    ae = pb2.AudioExample()
+    arr = np.array([-5, 0, 2 ** 30], np.int64)
+    buf = ae.buffers["onsets"]
+    buf.data = arr.tobytes()
+    buf.shape.extend(arr.shape)
+    buf.precision = pb2.AudioExample.INT64
+    db, out = str(tmp_path / "db"), str(tmp_path / "store")
+    write_minimal_lmdb(db, [(b"k0", ae.SerializeToString())])
+    assert import_lmdb(db, out, log=lambda *_: None) == 1
+    got = AudioExample(RecordReader(out).get("k0")).get("onsets")
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, arr.astype(np.int32))
+
+
+def test_truncated_data_mdb_fails_loudly(tmp_path):
+    """An overflow chain cut short (partial copy) must raise, not yield a
+    silently short value."""
+    psize = 4096
+    # one record whose 40000-byte value needs a 10-page overflow chain;
+    # layout: meta0, meta1, chain pg2-11, leaf pg12 (root)
+    db = str(tmp_path / "ref_db")
+    write_minimal_lmdb(db, [(b"k0", b"\xab" * 40000)], psize=psize)
+    path = os.path.join(db, "data.mdb")
+    data = open(path, "rb").read()
+    assert len(data) == 13 * psize
+    leaf = data[12 * psize:]
+    # drop the chain's last 2 pages and move the leaf up to pgno 10,
+    # re-pointing the live meta's main-DB root (u64 at meta_off+128) at it
+    patched = bytearray(data[:10 * psize] + leaf)
+    struct.pack_into("<Q", patched, psize + 128, 10)
+    with open(path, "wb") as f:
+        f.write(patched)
+    with LmdbReader(db) as r:
+        with pytest.raises(ValueError, match="EOF|truncated"):
+            list(r.items())
+
+
+def test_non_dict_metadata_json_is_ignored(tmp_path):
+    pb2 = _load_ref_pb2()
+    ae = pb2.AudioExample()
+    z = np.ones((4, 8), np.float32)
+    buf = ae.buffers["z"]
+    buf.data = z.tobytes()
+    buf.shape.extend(z.shape)
+    buf.precision = pb2.AudioExample.FLOAT32
+    meta = ae.buffers["metadata"]
+    meta.data = b"[1, 2, 3]"          # valid JSON, not an object
+    db, out = str(tmp_path / "db"), str(tmp_path / "store")
+    write_minimal_lmdb(db, [(b"k0", ae.SerializeToString())])
+    assert import_lmdb(db, out, log=lambda *_: None) == 1
+    np.testing.assert_array_equal(
+        AudioExample(RecordReader(out).get("k0")).get("z"), z)
