@@ -59,6 +59,10 @@ def build_argparser():
                    help="dotted config override, repeatable: "
                         "--override denoiser.embed_dim=256 (value parsed as "
                         "JSON; mirrors the reference's gin bindings)")
+    p.add_argument("--data_on_device", action="store_true",
+                   help="cache the latent store in device HBM and sample "
+                        "batches in-graph (zero per-step host upload; "
+                        "audio structure only, single-device)")
     p.add_argument("--mesh", default=None,
                    help="SPMD mesh spec: 'auto' (all local devices on the "
                         "data axis), 'data=N' or 'data=N,model=M' (tensor "
@@ -167,6 +171,25 @@ def main(argv=None) -> int:
                               timbre_augmentation_keys=tuple(aug_keys))
     loader = DataLoader(dataset, collate_fn=collate,
                         weights=dataset.example_weights, **loader_kwargs)
+    if args.data_on_device:
+        # TPU-native data path: resident latent bank + in-graph sampling
+        # (the host loader re-uploads ~3 crops x batch every step, which
+        # caps real-data throughput whenever the host<->device link is
+        # slower than the ~20 ms step — see dataset/device_bank.py)
+        assert cfg.structure_type != "midi", (
+            "--data_on_device supports audio structure only (piano rolls "
+            "are built from pickled MIDI on the host)")
+        assert mesh is None, (
+            "--data_on_device is single-device; drop --mesh or use the "
+            "host loader")
+        from ..dataset.device_bank import DeviceLatentBank
+        bank = DeviceLatentBank(dataset, cfg.train.n_signal,
+                                aug_keys=tuple(aug_keys),
+                                weights=dataset.example_weights,
+                                timbre_limit=args.timbre_limit)
+        print(f"[train] device latent bank: {bank.n_records} records, "
+              f"{bank.nbytes / 1e6:.1f} MB in HBM")
+        loader = bank.batches(cfg.train.batch_size)
 
     # fixed validation batches with pinned seeds (own collate instance so
     # the val iterator never perturbs the train collate's rng streams):

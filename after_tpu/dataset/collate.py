@@ -109,7 +109,11 @@ def make_collate_fn(n_signal: int, structure_type: str = "audio",
         def btc(a):
             return np.ascontiguousarray(np.swapaxes(a, -1, -2))
 
-        return {"x": btc(x), "x_cond": btc(x_timbre),
-                "x_time_cond": btc(time_cond)}
+        xb = btc(x)
+        # audio models condition structure on x itself: return the SAME
+        # object so the trainer can upload it once (the device transfer is
+        # the real training bottleneck behind a remote PJRT relay)
+        return {"x": xb, "x_cond": btc(x_timbre),
+                "x_time_cond": xb if time_cond is x else btc(time_cond)}
 
     return collate

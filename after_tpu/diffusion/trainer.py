@@ -578,7 +578,14 @@ class DiffusionTrainer:
             if mesh is not None:
                 batch = global_batch_from_local(batch, mesh)
             else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                # dedupe by object id: the audio collate aliases
+                # x_time_cond to x, so the (often multi-MB) array crosses
+                # the host->device link once, not twice
+                memo = {}
+                for v in batch.values():
+                    if id(v) not in memo:
+                        memo[id(v)] = jnp.asarray(v)
+                batch = {k: memo[id(v)] for k, v in batch.items()}
 
             if is_cls_step:
                 (variables, cls_opt), metrics = self.classifier_step(

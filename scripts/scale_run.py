@@ -93,7 +93,11 @@ def synth_corpus(out_dir, n_files, rng):
 # stage runner
 # ---------------------------------------------------------------------------
 
-def run_stage(name, argv, work, env_extra=None, timeout=7200):
+STAGE_TIMEOUT = 7200
+
+
+def run_stage(name, argv, work, env_extra=None, timeout=None):
+    timeout = STAGE_TIMEOUT if timeout is None else timeout
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, ".jax_cache"))
@@ -155,7 +159,15 @@ def main():
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--skip_to", type=int, default=0,
                     help="resume the pipeline at stage N (1-8)")
+    ap.add_argument("--stage_timeout", type=int, default=7200,
+                    help="per-stage subprocess timeout in seconds")
+    ap.add_argument("--data_on_device", action="store_true",
+                    help="train diffusion from the device-resident latent "
+                         "bank (no per-step host upload; ~15x faster "
+                         "through this sandbox's relay)")
     args = ap.parse_args()
+    global STAGE_TIMEOUT
+    STAGE_TIMEOUT = args.stage_timeout
     work = args.work
     os.makedirs(work, exist_ok=True)
     div = 10 if args.fast else 1
@@ -164,7 +176,13 @@ def main():
     db_raw = os.path.join(work, "db_raw")
     db = os.path.join(work, "db")
     runs = os.path.join(work, "runs")
+    # resume merges into the previous invocation's stage records
     summary = {"work": work, "fast": args.fast, "stages": {}}
+    spath = os.path.join(work, "scale_run_summary.json")
+    if args.skip_to > 0 and os.path.exists(spath):
+        with open(spath) as f:
+            prev = json.load(f)
+        summary["stages"].update(prev.get("stages", {}))
 
     ae_steps = 3000 // div
     ae_warm = 1500 // div
@@ -216,7 +234,7 @@ def main():
         "--override", f"train.cycle_start_step={10000 // div}",
         "--override", f"train.steps_valid={2500 // div}",
         "--override", f"train.steps_save={7500 // div}",
-    ]
+    ] + (["--data_on_device"] if args.data_on_device else [])
     if args.skip_to <= 5:
         dt = run_stage("train_dif_p1",
                        dif_common + ["--max_steps", str(dif_mid)], work)
