@@ -44,6 +44,7 @@ class MetricsLogger:
                 self._tb = None
         self._t_last = time.perf_counter()
         self._steps_since = 0
+        self._stackers: Dict[int, object] = {}
 
     def log(self, step: int, metrics: Dict[str, float],
             n_steps: int = 1) -> None:
@@ -57,12 +58,38 @@ class MetricsLogger:
         if step % self.flush_every == 0 and step > 0:
             self.flush(step)
 
+    def _fetch_pending(self) -> None:
+        """One batched device->host sync for the whole window.
+
+        float(v) per scalar costs a full round trip each; a 100-step window
+        of ~9 metrics is ~900 sequential syncs — measured ~200 ms/step
+        amortized through a remote PJRT relay.  Stack the window's device
+        scalars into ONE array (jitted; window sizes repeat, so this
+        compiles once) and read it back in a single transfer."""
+        import jax
+        import jax.numpy as jnp
+        flat = [(k, v) for k, vals in self._pending.items() for v in vals]
+        dev = [(i, v) for i, (_, v) in enumerate(flat)
+               if isinstance(v, jax.Array)]
+        if dev:
+            fn = self._stackers.get(len(dev))
+            if fn is None:
+                fn = jax.jit(
+                    lambda vs: jnp.stack(
+                        [jnp.asarray(v, jnp.float32).reshape(())
+                         for v in vs]))
+                self._stackers[len(dev)] = fn
+            fetched = np.asarray(fn([v for _, v in dev]))
+            for (i, _), f in zip(dev, fetched):
+                flat[i] = (flat[i][0], float(f))
+        for k, v in flat:
+            self._sums[k] += float(v)
+            self._counts[k] += 1
+        self._pending.clear()
+
     def flush(self, step: int) -> None:
         now = time.perf_counter()
-        for k, vals in self._pending.items():
-            self._sums[k] += float(sum(float(v) for v in vals))
-            self._counts[k] += len(vals)
-        self._pending.clear()
+        self._fetch_pending()
         avg = {k: self._sums[k] / max(self._counts[k], 1)
                for k in self._sums}
         avg["steps_per_sec"] = self._steps_since / max(now - self._t_last,
