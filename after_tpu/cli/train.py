@@ -28,6 +28,11 @@ def build_argparser():
     p.add_argument("--emb_model_path", default=None,
                    help="codec checkpoint for validation audio decode")
     p.add_argument("--out_path", default="./after_runs")
+    p.add_argument("--model", default=None,
+                   choices=["rectified", "edm"],
+                   help="diffusion formulation (reference train.py:88-95; "
+                        "its edm branch is dead code upstream — here it "
+                        "works). Default: the config's diffusion_type")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--restart", type=int, default=None)
@@ -133,6 +138,8 @@ def main(argv=None) -> int:
     probe = dataset[0]["z"]
     in_size = probe.shape[0]
     cfg = cfg.resolved(in_size=in_size)
+    if args.model:
+        cfg = with_overrides(cfg, {"diffusion_type": args.model})
     if args.batch_size:
         cfg = with_overrides(cfg, {"train.batch_size": args.batch_size})
     if args.max_steps:

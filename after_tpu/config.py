@@ -294,6 +294,33 @@ class AETrainConfig:
     stft_bf16_dft: bool = False
 
 
+@dataclass(frozen=True)
+class EDMConfig:
+    """EDM (Karras) diffusion hyperparameters.
+
+    The reference CLI advertises ``after train --model edm``
+    (after_scripts/train.py:91-93) but the class it imports does not exist in
+    the package (SURVEY §2.5) — the surface is dead upstream.  Here it works:
+    ``AfterConfig.diffusion_type = "edm"`` selects diffusion/edm.py, which
+    reuses the ``SIGMA_DATA`` binding the reference's midi.gin declares but
+    never reads.
+    """
+
+    sigma_data: float = 0.5     # midi.gin SIGMA_DATA
+    # training noise-level distribution: log sigma ~ N(p_mean, p_std)
+    p_mean: float = -1.2
+    p_std: float = 1.2
+    # Karras sampling schedule sigma_i = (max^(1/rho) + i/(n-1)*(min^(1/rho)
+    # - max^(1/rho)))^rho, i < n; sigma_n = 0
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    # offline sampler order: Heun 2nd-order (2 denoiser calls per step except
+    # the last) when True, plain Euler when False.  Streaming is always Euler
+    # (one KV-cache slot per step).
+    heun: bool = True
+
+
 # ---------------------------------------------------------------------------
 # Top-level config
 # ---------------------------------------------------------------------------
@@ -320,6 +347,10 @@ class AfterConfig:
     train: DiffusionTrainConfig = field(default_factory=DiffusionTrainConfig)
     drop_value: float = -4.0
     drop_rate: float = 0.2
+    # "rectified" (default, reference base.gin) | "edm" (the reference's
+    # `--model edm` surface, dead upstream — see EDMConfig)
+    diffusion_type: str = "rectified"
+    edm: EDMConfig = field(default_factory=EDMConfig)
 
     def resolved(self, in_size: int, n_signal: Optional[int] = None) -> "AfterConfig":
         """Bind runtime-probed codec geometry into all sub-configs.
@@ -391,6 +422,7 @@ _SUBCONFIG_TYPES = {
     (AfterConfig, "classifier"): Encoder1DConfig,
     (AfterConfig, "autoencoder"): AutoEncoderConfig,
     (AfterConfig, "train"): DiffusionTrainConfig,
+    (AfterConfig, "edm"): EDMConfig,
 }
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..config import AfterConfig
 from ..models import AudioCodec
 from ..utils.precision import cast_floating, resolve_dtype
-from .rectified_flow import RectifiedFlow
+from .factory import make_model
 
 
 class TransferPipeline:
@@ -34,7 +34,7 @@ class TransferPipeline:
         self.cfg = cfg
         self.compute_dtype = resolve_dtype(compute_dtype)
         self.codec = AudioCodec(cfg.autoencoder)
-        self.rf = RectifiedFlow(cfg)
+        self.rf = make_model(cfg)
 
     def prepare_variables(self, variables):
         """One-time host-side cast to the compute dtype; the in-graph casts

@@ -158,6 +158,22 @@ class RectifiedFlow:
         loss = jnp.mean(jnp.square(out.astype(jnp.float32) - target))
         return loss, (interpolant, tb)
 
+    def transfer_estimate(self, net_vars, interpolant, t, cond, tcond,
+                          compute_dtype=None):
+        """One-shot estimate of the clean target from a noised batch, used
+        by the trainer's cycle step (model.py:578-700): integrate the
+        velocity field from t straight to 1.  `t` is the (B, 1, 1) aux
+        returned by diffusion_loss; inputs/outputs are f32, only the
+        denoiser forward runs at `compute_dtype`."""
+        cd = compute_dtype
+
+        def c(v):
+            return v if cd is None else v.astype(cd)
+
+        v = self.net.apply(net_vars, c(interpolant), c(t[:, 0, 0]), c(cond),
+                           c(tcond))
+        return interpolant + (1 - t) * v.astype(jnp.float32)
+
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------

@@ -27,6 +27,7 @@ import optax
 
 from ..config import AfterConfig
 from ..utils.precision import cast_floating, resolve_dtype
+from .factory import make_model
 from .rectified_flow import RectifiedFlow
 
 
@@ -85,7 +86,7 @@ class DiffusionTrainer:
     def __init__(self, cfg: AfterConfig, rf: Optional[RectifiedFlow] = None):
         self.cfg = cfg
         self.tc = cfg.train
-        self.rf = rf or RectifiedFlow(cfg)
+        self.rf = rf or make_model(cfg)
         # mixed precision: compute at tc.compute_dtype (e.g. bf16, 2x MXU
         # rate on v5e), master params/opt/EMA f32.  Params are cast INSIDE
         # the differentiated loss, so grads accumulate in f32.
@@ -296,10 +297,12 @@ class DiffusionTrainer:
         def c(x):
             return x if cd is None else x.astype(cd)
 
-        net_vars = {"params": p("net")}
-        v = rf.net.apply(net_vars, c(interpolant), c(t[:, 0, 0]), c(cond_t),
-                         c(tcond_t))
-        x_transfer = interpolant + (1 - t) * v.astype(jnp.float32)
+        # model-specific one-shot transfer estimate: rectified flow
+        # integrates the velocity field to t=1; EDM applies the
+        # preconditioned denoiser at the sigma recovered from t
+        x_transfer = rf.transfer_estimate(
+            {"params": p("net")}, interpolant, t, cond_t, tcond_t,
+            compute_dtype=cd)
 
         (cond_rec, _, _), _ = rf.encoder.apply(
             {**variables["encoder"], "params": p("encoder")},

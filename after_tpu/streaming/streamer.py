@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..config import AfterConfig
 from ..models import AudioCodec, ECAPAEncoder, Encoder1D
-from ..diffusion.rectified_flow import RectifiedFlow
+from ..diffusion.factory import make_model
 from ..utils.precision import cast_floating, resolve_dtype
 from .state import init_stream_state, zero_cache
 
@@ -93,7 +93,7 @@ class Streamer:
                 f"(zs_channels=128); config has {cfg.zs_channels}")
 
         self.codec = AudioCodec(cfg.autoencoder, streaming=True)
-        self.rf = RectifiedFlow(cfg)
+        self.rf = make_model(cfg)
         self.enc_time = (Encoder1D(cfg.encoder_time, streaming=True)
                          if cfg.encoder_time is not None else None)
         self.encoder = ECAPAEncoder(cfg.encoder)

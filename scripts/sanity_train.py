@@ -14,6 +14,10 @@ from test_diffusion import micro_config
 cfg = micro_config()
 cfg = with_overrides(cfg, {"train.timbre_warmup": 40, "train.batch_size": 8,
                            "train.steps_display": 50})
+# optional: `python scripts/sanity_train.py edm` drives the EDM formulation
+if len(sys.argv) > 1:
+    cfg = with_overrides(cfg, {"diffusion_type": sys.argv[1]})
+    print(f"diffusion_type = {cfg.diffusion_type}")
 tr = DiffusionTrainer(cfg)
 state = tr.init(jax.random.PRNGKey(0), 8)
 

@@ -145,6 +145,23 @@ def test_train_cli_restart_restores_opt_state(z_store, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_model_edm(z_store, tmp_path):
+    """`--model edm` trains through the CLI (the reference's dead switch,
+    train.py:88-95), records diffusion_type in the run config, and
+    restarts under it."""
+    import json
+
+    out = tmp_path / "runs"
+    base = ["train", "--name", "e", "--db_path", str(z_store),
+            "--out_path", str(out), "--config", "tiny",
+            "--batch_size", "2", "--model", "edm", *MICRO_OVERRIDES]
+    assert cli_main(base + ["--max_steps", "2"]) == 0
+    cfgj = json.load(open(out / "e" / "config.json"))
+    assert cfgj["diffusion_type"] == "edm"
+    assert cli_main(base + ["--max_steps", "3", "--restart", "2"]) == 0
+
+
+@pytest.mark.slow
 def test_prepare_augment_then_train_consumes_z_aug(corpus, tmp_path, capsys):
     """e2e: prepare_dataset --augmentations writes z_aug_* latents and the
     train CLI discovers + consumes them (reference train.py:105-122)."""
