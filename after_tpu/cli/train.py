@@ -215,6 +215,28 @@ def main(argv=None) -> int:
         import itertools
         val_batches = list(itertools.islice(iter(val_loader), 8))
 
+    # a restart must continue under the run's own diffusion objective: the
+    # rectified/edm param trees are shape-identical, so restoring an EDM
+    # checkpoint into a rectified-flow trainer would silently switch the
+    # training objective with no restore warning (reference restarts reuse
+    # the run's gin operative config the same way)
+    if args.restart is not None:
+        run_cfg_path = os.path.join(model_dir, "config.json")
+        if os.path.exists(run_cfg_path):
+            from ..config import from_json
+            with open(run_cfg_path) as f:
+                run_type = from_json(f.read()).diffusion_type
+            if run_type != cfg.diffusion_type:
+                if args.model:
+                    print(f"[train] WARNING: --model {args.model} overrides "
+                          f"the run's recorded diffusion_type={run_type}; "
+                          "the restored weights were trained under the "
+                          "other objective")
+                else:
+                    print(f"[train] restart adopts the run's "
+                          f"diffusion_type={run_type} (config.json)")
+                    cfg = with_overrides(cfg, {"diffusion_type": run_type})
+
     trainer = DiffusionTrainer(cfg)
     state = trainer.init(jax.random.PRNGKey(0))
 

@@ -147,22 +147,14 @@ class EDM(RectifiedFlow):
         Same mixing arithmetic as rectified flow (model.py:730-759), applied
         to D(x; sigma) instead of the velocity field.  `sigma` is (B,).
         """
-        full_x = jnp.concatenate([x, x, x], axis=0)
-        full_sigma = jnp.concatenate([sigma, sigma, sigma], axis=0)
-        null_c = jnp.full_like(cond, self.drop_value)
-        full_cond = jnp.concatenate([cond, null_c, null_c], axis=0)
-        null_tc = jnp.full_like(time_cond, self.drop_value)
-        full_tcond = jnp.concatenate([time_cond, time_cond, null_tc], axis=0)
+        full_x, full_sigma, full_cond, full_tcond = self._cfg_inputs(
+            x, sigma, cond, time_cond)
 
         out = self.denoise(net_params, full_x, full_sigma, full_cond,
                            full_tcond, cache=cache, cache_index=cache_index,
                            compute_dtype=compute_dtype)
         D, new_cache = out if cache is not None else (out, None)
-
-        d_full, d_tc, d_none = jnp.split(D, 3, axis=0)
-        total = 0.5 * (guidance_structure + guidance_timbre)
-        factor = guidance_timbre / jnp.maximum(guidance_structure, 0.01)
-        D = d_none + total * (d_tc + factor * (d_full - d_tc) - d_none)
+        D = self._cfg_mix(D, guidance_timbre, guidance_structure)
         return (D, new_cache) if cache is not None else D
 
     # ------------------------------------------------------------------
@@ -211,7 +203,11 @@ class EDM(RectifiedFlow):
             x_next = x + (sigma_next - sigma) * d
             if self.cfg.edm.heun:
                 def correct(x_next):
-                    d2 = (x_next - fwd(x_next, sigma_next)) / sigma_next
+                    # guard the division: lax.cond lowers to select under
+                    # vmap, executing BOTH branches — sigma_next=0 on the
+                    # final step must not produce 0/0 inside this one
+                    d2 = ((x_next - fwd(x_next, sigma_next))
+                          / jnp.maximum(sigma_next, 1e-20))
                     return x + (sigma_next - sigma) * 0.5 * (d + d2)
                 x_next = jax.lax.cond(sigma_next > 0.0, correct,
                                       lambda xn: xn, x_next)

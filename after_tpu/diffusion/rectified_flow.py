@@ -178,6 +178,28 @@ class RectifiedFlow:
     # inference
     # ------------------------------------------------------------------
 
+    def _cfg_inputs(self, x, time, cond, time_cond):
+        """Tile (x, time) 3x and build the [full | structure-only |
+        unconditional] condition rows of the 3-way CFG batch
+        (model.py:730-751).  Shared by the rectified and EDM forwards so
+        the row layout can never drift between the two formulations."""
+        full_x = jnp.concatenate([x, x, x], axis=0)
+        full_time = jnp.concatenate([time, time, time], axis=0)
+        null_c = jnp.full_like(cond, self.drop_value)
+        full_cond = jnp.concatenate([cond, null_c, null_c], axis=0)
+        null_tc = jnp.full_like(time_cond, self.drop_value)
+        full_tcond = jnp.concatenate([time_cond, time_cond, null_tc], axis=0)
+        return full_x, full_time, full_cond, full_tcond
+
+    @staticmethod
+    def _cfg_mix(out, guidance_timbre, guidance_structure):
+        """Linear guidance mix of the 3 CFG rows (model.py:752-759); applies
+        to velocities (rectified) or denoised estimates (EDM) alike."""
+        o_full, o_tc, o_none = jnp.split(out, 3, axis=0)
+        total = 0.5 * (guidance_structure + guidance_timbre)
+        factor = guidance_timbre / jnp.maximum(guidance_structure, 0.01)
+        return o_none + total * (o_tc + factor * (o_full - o_tc) - o_none)
+
     def model_forward(self, net_params, x, time, cond, time_cond,
                       guidance_timbre: float, guidance_structure: float,
                       cache=None, cache_index=0):
@@ -186,12 +208,8 @@ class RectifiedFlow:
         With `cache` given, runs the streaming denoiser and returns
         (dx, new_cache).
         """
-        full_x = jnp.concatenate([x, x, x], axis=0)
-        full_time = jnp.concatenate([time, time, time], axis=0)
-        null_c = jnp.full_like(cond, self.drop_value)
-        full_cond = jnp.concatenate([cond, null_c, null_c], axis=0)
-        null_tc = jnp.full_like(time_cond, self.drop_value)
-        full_tcond = jnp.concatenate([time_cond, time_cond, null_tc], axis=0)
+        full_x, full_time, full_cond, full_tcond = self._cfg_inputs(
+            x, time, cond, time_cond)
 
         if cache is not None:
             if self.net_stream is None:
@@ -208,10 +226,7 @@ class RectifiedFlow:
                                 full_tcond)
             new_cache = None
 
-        dx_full, dx_tc, dx_none = jnp.split(dx, 3, axis=0)
-        total = 0.5 * (guidance_structure + guidance_timbre)
-        factor = guidance_timbre / jnp.maximum(guidance_structure, 0.01)
-        dx = dx_none + total * (dx_tc + factor * (dx_full - dx_tc) - dx_none)
+        dx = self._cfg_mix(dx, guidance_timbre, guidance_structure)
         return (dx, new_cache) if cache is not None else dx
 
     @partial(jax.jit, static_argnums=(0, 5, 8))
