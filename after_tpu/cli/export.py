@@ -30,6 +30,19 @@ def build_argparser(cmd: str):
                    help="default structure guidance (live-settable "
                         "attribute)")
     p.add_argument("--latent_range", type=float, default=1.0)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="voices batched into one graph: serving hosts run "
+                        "B concurrent users per dispatch at ~the cost of "
+                        "one (native stream_host batched-voice mode)")
+    p.add_argument("--db_path", default=None,
+                   help="dataset store: train the 2-D XY-pad timbre "
+                        "projector from its latents and bake "
+                        "latent2map/map2latent + map.png into the artifact "
+                        "(reference export.py:109-129 latent_project)")
+    p.add_argument("--map_samples", type=int, default=512,
+                   help="dataset records to embed for the timbre map")
+    p.add_argument("--map_steps", type=int, default=5000,
+                   help="projector training steps")
     p.add_argument("--compute_dtype", default=None,
                    help="e.g. bfloat16: bake a reduced-precision compute "
                         "path (and state) into the artifact")
@@ -102,6 +115,21 @@ def main(cmd: str, argv=None) -> int:
         raise SystemExit("--emb_model_path (codec checkpoint) is required")
 
     variables = {"codec": codec_vars, "diffusion": diff_vars}
+
+    # XY-pad timbre map: the reference trains the 2-D projector from the
+    # run's dataset at export time and ships latent2map/map2latent + the
+    # density PNG inside every a2a export (export.py:109-129,297-328,520-529)
+    projector_params, embeddings = None, None
+    if args.db_path:
+        from ..utils.latent_map import (store_timbre_embeddings,
+                                        train_projector)
+        embeddings = store_timbre_embeddings(
+            cfg, variables, args.db_path, n_samples=args.map_samples)
+        print(f"[{cmd}] training 2-D timbre map on {len(embeddings)} "
+              f"embeddings ({args.map_steps} steps)")
+        _, projector_params = train_projector(embeddings,
+                                              num_steps=args.map_steps)
+
     streamer = Streamer(cfg, chunk_size=args.chunk_size,
                         latent_range=args.latent_range,
                         compute_dtype=args.compute_dtype)
@@ -112,7 +140,12 @@ def main(cmd: str, argv=None) -> int:
         f"{os.path.basename(args.model_path.rstrip('/'))}")
     export_streamer(streamer, variables, out, nb_steps=args.nb_steps,
                     guidance_timbre=args.guidance_timbre,
-                    guidance_structure=args.guidance_structure)
+                    guidance_structure=args.guidance_structure,
+                    batch_size=args.batch_size,
+                    projector_params=projector_params)
+    if projector_params is not None:
+        from ..utils.latent_map import save_projector
+        save_projector(out, projector_params, embeddings)
     print(f"[{cmd}] exported -> {out}")
     return 0
 

@@ -3,12 +3,17 @@
 The reference's end-user surface is a Max4Live device
 (/root/reference/after.m4l/afterv2.js) — an XY pad over the model's timbre
 map driving `nn~ <model> generate_timbre`.  This serves the same controls as
-a local web app (after_tpu/frontend/) over the offline TransferPipeline.
+a local web app (after_tpu/frontend/) in one of two modes:
 
-The 2-D projector is trained at serve time from dataset timbre embeddings
-(the reference trains it at export time, after_scripts/export.py:119-127);
-pass --store for a real map, otherwise the pad is disabled and timbre comes
-from an uploaded reference audio.
+- ``--artifact <dir>``: stream buffer-by-buffer through an EXPORTED
+  artifact's compiled graphs (the production path a native host runs); the
+  XY pad uses the artifact's baked projector + map.png when it was exported
+  with ``after-tpu export --db_path``.
+- ``--model_path/--emb_model_path``: offline TransferPipeline over
+  checkpoints.  The 2-D projector loads from a sibling exported artifact
+  when one carries projector.msgpack; otherwise pass --store to train it at
+  serve time (the reference trains it at export time,
+  after_scripts/export.py:119-127).
 """
 
 from __future__ import annotations
@@ -19,28 +24,47 @@ import os
 
 def build_argparser():
     p = argparse.ArgumentParser(prog="after-tpu serve")
-    p.add_argument("--model_path", required=True,
+    p.add_argument("--artifact", default=None,
+                   help="exported artifact dir: serve the compiled "
+                        "streaming graphs instead of checkpoints")
+    p.add_argument("--model_path", default=None,
                    help="diffusion run dir with checkpoints + config.json")
     p.add_argument("--step", type=int, default=None)
-    p.add_argument("--emb_model_path", required=True,
+    p.add_argument("--emb_model_path", default=None,
                    help="codec checkpoint dir")
     p.add_argument("--store", default=None,
                    help="dataset store dir: trains the XY-pad timbre map")
     p.add_argument("--map_samples", type=int, default=512)
     p.add_argument("--map_steps", type=int, default=2000)
-    p.add_argument("--nb_steps", type=int, default=20)
+    p.add_argument("--nb_steps", type=int, default=None)
     p.add_argument("--max_seconds", type=float, default=12.0)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8675)
     return p
 
 
+def find_artifact_projector(model_path: str, zt_channels: int):
+    """(projector_params, map_dir) from the newest exported artifact under
+    the run dir carrying projector.msgpack, else (None, None)."""
+    from ..utils.latent_map import load_projector
+
+    candidates = sorted(
+        d for d in os.listdir(model_path)
+        if d.startswith(("after.audio", "after.midi"))
+        and os.path.exists(os.path.join(model_path, d, "projector.msgpack"))
+    ) if os.path.isdir(model_path) else []
+    for d in reversed(candidates):
+        art = os.path.join(model_path, d)
+        params = load_projector(art, zt_channels)
+        if params is not None:
+            return params, art
+    return None, None
+
+
 def load_frontend(args):
-    import jax
     import numpy as np
 
     from ..config import from_json
-    from ..diffusion import TransferPipeline
     from ..frontend.server import AfterFrontend
     from ..utils.checkpoint import restore_checkpoint
 
@@ -56,56 +80,43 @@ def load_frontend(args):
     codec_vars = codec_restored.get("codec_vars", codec_restored)
     variables = {"codec": codec_vars, "diffusion": diff_vars}
 
-    projector_params, embeddings = None, None
+    projector_params, embeddings, art = None, None, None
     if args.store:
-        from ..dataset import SimpleDataset
-        from ..utils.latent_map import train_projector
-
-        ds = SimpleDataset(args.store, keys=("z",))
-        if len(ds) == 0:
-            raise SystemExit(f"--store {args.store} is empty; cannot train "
-                             "the timbre map (omit --store to serve without "
-                             "the XY pad)")
-        n = min(args.map_samples, len(ds))
-        pipe = TransferPipeline(cfg)
-        embs = []
-        batch, bs = [], 16
-        shape0 = None
-        for i in np.linspace(0, len(ds) - 1, n).astype(int):
-            # records store latents as (C, T) (reference layout); the
-            # pipeline runs (B, T, C)
-            z = np.asarray(ds[int(i)]["z"], np.float32).T
-            if shape0 is None:
-                shape0 = z.shape
-            elif z.shape != shape0:
-                raise SystemExit(
-                    f"--store records have differing latent shapes "
-                    f"({shape0} vs {z.shape} at record {int(i)}); the timbre "
-                    "map needs fixed-length records (re-run prepare_dataset)")
-            batch.append(z)
-            if len(batch) == bs:
-                z = jax.numpy.asarray(np.stack(batch))
-                embs.append(np.asarray(pipe.timbre(variables, z)))
-                batch = []
-        if batch:
-            z = jax.numpy.asarray(np.stack(batch))
-            embs.append(np.asarray(pipe.timbre(variables, z)))
-        embeddings = np.concatenate(embs, axis=0)
+        from ..utils.latent_map import (store_timbre_embeddings,
+                                        train_projector)
+        embeddings = store_timbre_embeddings(
+            cfg, variables, args.store, n_samples=args.map_samples)
         print(f"[serve] training 2-D timbre map on {len(embeddings)} "
               f"embeddings ({args.map_steps} steps)")
         _, projector_params = train_projector(embeddings,
                                               num_steps=args.map_steps)
+    else:
+        # a CLI-exported artifact under the run dir already carries a
+        # trained projector: reuse it instead of retraining
+        projector_params, art = find_artifact_projector(args.model_path,
+                                                        cfg.zt_channels)
+        if projector_params is not None:
+            print(f"[serve] loaded pre-trained timbre map from {art}")
 
     return AfterFrontend(cfg, variables, projector_params=projector_params,
-                         embeddings=embeddings, nb_steps=args.nb_steps,
-                         max_seconds=args.max_seconds)
+                         embeddings=embeddings,
+                         nb_steps=args.nb_steps or 20,
+                         max_seconds=args.max_seconds, map_dir=art)
 
 
 def main(argv=None) -> int:
     from ..frontend.server import serve
 
     args = build_argparser().parse_args(argv)
-    app = load_frontend(args)
+    if args.artifact:
+        from ..frontend.server import ArtifactFrontend
+        app = ArtifactFrontend(args.artifact, nb_steps=args.nb_steps,
+                               max_seconds=args.max_seconds)
+    else:
+        if not (args.model_path and args.emb_model_path):
+            raise SystemExit("serve needs either --artifact <dir> or "
+                             "--model_path + --emb_model_path")
+        app = load_frontend(args)
     try:
         serve(app, host=args.host, port=args.port)
     except KeyboardInterrupt:

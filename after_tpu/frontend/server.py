@@ -74,7 +74,8 @@ class AfterFrontend:
 
     def __init__(self, cfg: AfterConfig, variables,
                  projector_params=None, embeddings: Optional[np.ndarray] = None,
-                 nb_steps: int = 20, max_seconds: float = 12.0):
+                 nb_steps: int = 20, max_seconds: float = 12.0,
+                 map_dir: Optional[str] = None):
         self.cfg = cfg
         self.pipe = TransferPipeline(cfg)
         self.variables = self.pipe.prepare_variables(variables)
@@ -89,10 +90,14 @@ class AfterFrontend:
             emb2d = np.asarray(self.projector.apply(
                 projector_params, jnp.asarray(embeddings),
                 method=SmallAutoencoder.encode))
-        if emb2d is None:
-            emb2d = np.zeros((1, 2), np.float32)
-        rgb = generate_map_png(emb2d, os.devnull)
-        self.map_png = png_bytes(rgb)
+        if map_dir and os.path.exists(os.path.join(map_dir, "map.png")):
+            # density PNG baked into an exported artifact at export time
+            with open(os.path.join(map_dir, "map.png"), "rb") as f:
+                self.map_png = f.read()
+        else:
+            if emb2d is None:
+                emb2d = np.zeros((1, 2), np.float32)
+            self.map_png = png_bytes(generate_map_png(emb2d, os.devnull))
 
     # -- model ops (call under self.lock) ---------------------------------
 
@@ -189,6 +194,140 @@ class AfterFrontend:
                 "max_seconds": self.max_samples / self.cfg.sr,
                 "is_midi": self.cfg.structure_type == "midi",
                 "has_projector": self.projector_params is not None}
+
+
+class ArtifactFrontend:
+    """Frontend over an EXPORTED artifact (`after-tpu serve --artifact`):
+    the continuous consumer of the production artifact path.  Where
+    AfterFrontend drives the offline TransferPipeline from checkpoints,
+    this streams buffer-by-buffer through the same compiled StableHLO
+    graphs the native host executes — the role the Max device plays for the
+    reference's exported .ts models (/root/reference/after.m4l/afterv2.js).
+
+    The XY pad uses the artifact's own baked `map2latent`/`latent2map`
+    graphs and `map.png` (exported with `after-tpu export --db_path ...`);
+    nb_steps / guidance are the artifact's live-settable attributes."""
+
+    def __init__(self, path: str, nb_steps: Optional[int] = None,
+                 max_seconds: float = 12.0):
+        from ..streaming.export import ExportedStreamer
+
+        self.path = path
+        self.st = ExportedStreamer(path)
+        m = self.st.manifest
+        self.sr = int(m["sr"])
+        self.audio_chunk = int(m["audio_chunk"])
+        self.chunk_size = int(m["chunk_size"])
+        self.batch = int(m.get("batch_size", 1))
+        self.is_midi = int(m.get("n_poly", 0)) > 0
+        self.n_poly = int(m.get("n_poly", 0))
+        self.zt_channels = int(m["config"]["zt_channels"])
+        if nb_steps is not None:
+            self.st.set_attribute("nb_steps", nb_steps)
+        self.max_samples = int(max_seconds * self.sr)
+        self.lock = threading.Lock()
+        self.zsem = np.zeros((self.batch, self.zt_channels), np.float32)
+        self.has_projector = bool(m.get("latent_map")) and \
+            self.st.has_method("map2latent")
+        png = os.path.join(path, "map.png")
+        if os.path.exists(png):
+            with open(png, "rb") as f:
+                self.map_png = f.read()
+        else:
+            self.map_png = png_bytes(
+                generate_map_png(np.zeros((1, 2), np.float32), os.devnull))
+
+    def _chunks(self, wav: bytes) -> np.ndarray:
+        """WAV bytes -> (N, B, audio_chunk, 1) buffer sequence (voice 0
+        carries the signal; extra batched voices are fed zeros)."""
+        x = _parse_wav(wav, self.sr)[: self.max_samples]
+        A = self.audio_chunk
+        n = max(A, (len(x) + A - 1) // A * A)
+        x = np.pad(x, (0, n - len(x)))
+        bufs = np.zeros((n // A, self.batch, A, 1), np.float32)
+        bufs[:, 0, :, 0] = x.reshape(n // A, A)
+        return bufs
+
+    def set_xy(self, x: float, y: float):
+        if not self.has_projector:
+            raise ValueError("artifact has no latent map (re-export with "
+                             "--db_path to bake the XY pad)")
+        xy = jnp.tile(jnp.asarray([[float(x), float(y)]], jnp.float32),
+                      (self.batch, 1))
+        self.zsem = np.asarray(self.st.call("map2latent", xy))
+        return self.zsem
+
+    def set_timbre_audio(self, wav: bytes):
+        """Stream the reference audio through the artifact's stateful
+        `timbre` method (its ring buffer accumulates context); the final
+        buffer's output is the new timbre vector."""
+        zt = None
+        for buf in self._chunks(wav):
+            zt = self.st.call("timbre", jnp.asarray(buf))
+        self.zsem = np.asarray(zt)
+        if self.has_projector:
+            xy = self.st.call("latent2map", jnp.asarray(self.zsem))
+            return np.asarray(xy)[0].tolist()
+        return None
+
+    def transfer(self, wav: bytes, nb_steps: Optional[int] = None,
+                 guidance_timbre: float = 1.0,
+                 guidance_structure: float = 1.0, seed: int = 0) -> bytes:
+        if self.is_midi:
+            raise ValueError("MIDI artifact: use /api/midi with a .mid file")
+        if nb_steps is not None:
+            self.st.set_attribute("nb_steps", nb_steps)
+        self.st.set_attribute("guidance_timbre", guidance_timbre)
+        self.st.set_attribute("guidance_structure", guidance_structure)
+        zsem = jnp.asarray(self.zsem)
+        outs = []
+        for i, buf in enumerate(self._chunks(wav)):
+            key = jax.random.key_data(jax.random.PRNGKey(seed * 100003 + i))
+            y = self.st.call("generate_timbre", jnp.asarray(buf), zsem, key)
+            outs.append(np.asarray(y)[0, :, 0])
+        return _wav_bytes(np.concatenate(outs), self.sr)
+
+    def transfer_midi(self, mid: bytes, nb_steps: Optional[int] = None,
+                      guidance_timbre: float = 1.0,
+                      guidance_structure: float = 1.0,
+                      seed: int = 0) -> bytes:
+        """MIDI file -> note-pair buffers -> diffuse_midi + decode, buffer
+        by buffer (the afterv2midi.js device loop)."""
+        if not self.is_midi:
+            raise ValueError("not a MIDI artifact; use /api/transfer")
+        from ..dataset.midi import MidiFile
+
+        if nb_steps is not None:
+            self.st.set_attribute("nb_steps", nb_steps)
+        self.st.set_attribute("guidance_timbre", guidance_timbre)
+        self.st.set_attribute("guidance_structure", guidance_structure)
+        mf = MidiFile(data=mid)
+        latent_rate = self.sr / (self.audio_chunk // self.chunk_size)
+        dur = min(max(mf.duration(), 1.0 / latent_rate),
+                  self.max_samples / self.sr)
+        T = int(np.ceil(dur * latent_rate / self.chunk_size)
+                ) * self.chunk_size
+        pairs = mf.get_note_pairs(np.arange(T) / latent_rate, self.n_poly)
+        zsem = jnp.asarray(self.zsem)
+        outs = []
+        for i in range(0, T, self.chunk_size):
+            notes = np.zeros((self.batch, self.chunk_size, self.n_poly, 2),
+                             np.float32)
+            notes[0] = pairs[i:i + self.chunk_size]
+            key = jax.random.key_data(jax.random.PRNGKey(seed * 100003 + i))
+            z = self.st.call("diffuse_midi", jnp.asarray(notes), zsem, key)
+            y = self.st.call("decode", z)
+            outs.append(np.asarray(y)[0, :, 0])
+        return _wav_bytes(np.concatenate(outs), self.sr)
+
+    def info(self) -> dict:
+        return {"sr": self.sr, "zt_channels": self.zt_channels,
+                "nb_steps": self.st.get_attribute("nb_steps"),
+                "ratio": self.audio_chunk // self.chunk_size,
+                "max_seconds": self.max_samples / self.sr,
+                "is_midi": self.is_midi,
+                "has_projector": self.has_projector,
+                "artifact": self.path}
 
 
 def make_handler(app: AfterFrontend):

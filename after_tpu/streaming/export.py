@@ -212,6 +212,9 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
             "guidance_structure": {"default": float(guidance_structure),
                                    "dtype": "float32"},
         },
+        # 1 marks a baked XY-pad surface: latent2map/map2latent graphs +
+        # map.png + projector.msgpack present (reference latent_project)
+        "latent_map": int(projector_params is not None),
         # >0 marks a MIDI artifact: hosts feed diffuse_midi (chunk, n_poly,
         # 2) note pairs instead of structure audio (reference export_midi)
         "n_poly": int(streamer.n_poly) if streamer.is_midi else 0,
@@ -293,6 +296,9 @@ class ExportedStreamer:
             k: v["default"]
             for k, v in self.manifest.get("attributes", {}).items()}
         self.reset(path)
+
+    def has_method(self, name: str) -> bool:
+        return name in self._methods
 
     def set_attribute(self, name: str, value):
         spec = self.manifest.get("attributes", {}).get(name)

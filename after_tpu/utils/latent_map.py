@@ -78,6 +78,76 @@ def train_projector(embeddings: np.ndarray, num_steps: int = 20000,
     return model, params
 
 
+def store_timbre_embeddings(cfg, variables, store: str, n_samples: int = 512,
+                            batch_size: int = 16) -> np.ndarray:
+    """(N, zt) timbre embeddings from a dataset store's precomputed latents.
+
+    The reference computes these at export time to train the XY-pad
+    projector (/root/reference/after_scripts/export.py:109-127); shared here
+    by `after-tpu export --db_path` and `after-tpu serve --store`."""
+    from ..dataset import SimpleDataset
+    from ..diffusion import TransferPipeline
+
+    ds = SimpleDataset(store, keys=("z",))
+    if len(ds) == 0:
+        raise SystemExit(f"dataset store {store} is empty; cannot train "
+                         "the timbre map")
+    n = min(n_samples, len(ds))
+    pipe = TransferPipeline(cfg)
+    embs, batch, shape0 = [], [], None
+    for i in np.linspace(0, len(ds) - 1, n).astype(int):
+        # records store latents as (C, T) (reference layout); the
+        # pipeline runs (B, T, C)
+        z = np.asarray(ds[int(i)]["z"], np.float32).T
+        if shape0 is None:
+            shape0 = z.shape
+        elif z.shape != shape0:
+            raise SystemExit(
+                f"store records have differing latent shapes "
+                f"({shape0} vs {z.shape} at record {int(i)}); the timbre "
+                "map needs fixed-length records (re-run prepare_dataset)")
+        batch.append(z)
+        if len(batch) == batch_size:
+            embs.append(np.asarray(pipe.timbre(
+                variables, jnp.asarray(np.stack(batch)))))
+            batch = []
+    if batch:
+        embs.append(np.asarray(pipe.timbre(
+            variables, jnp.asarray(np.stack(batch)))))
+    return np.concatenate(embs, axis=0)
+
+
+def save_projector(out_dir: str, params, embeddings: np.ndarray) -> None:
+    """Persist a trained projector + density PNG into an export artifact:
+    `projector.msgpack` (flax param bytes) and `map.png` (the XY-pad
+    background, reference export.py:520-529 writes `<model>.png`)."""
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(out_dir, "projector.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+    model = SmallAutoencoder(in_dim=int(np.shape(embeddings)[-1]))
+    emb2d = np.asarray(model.apply(params, jnp.asarray(embeddings),
+                                   method=SmallAutoencoder.encode))
+    generate_map_png(emb2d, os.path.join(out_dir, "map.png"))
+
+
+def load_projector(art_dir: str, in_dim: int):
+    """Projector params from an artifact dir, or None when absent."""
+    import os
+
+    from flax import serialization
+
+    path = os.path.join(art_dir, "projector.msgpack")
+    if not os.path.exists(path):
+        return None
+    template = SmallAutoencoder(in_dim=in_dim).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, in_dim), jnp.float32))
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def png_bytes(rgb: np.ndarray) -> bytes:
     """Minimal PNG encoder for (H, W, 3) uint8."""
     h, w, _ = rgb.shape
