@@ -16,8 +16,8 @@ from after_tpu.dataset.midi import MidiFile, Note
 from after_tpu.diffusion import TransferPipeline
 from after_tpu.utils.checkpoint import save_checkpoint
 
-# full end-to-end CLI example runs: ~3 min of XLA CPU compiles
-pytestmark = pytest.mark.slow
+# the full end-to-end runs cost ~3 min of XLA CPU compiles apiece; marked
+# slow individually so the --help smoke keeps the scripts in the fast loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -61,6 +61,20 @@ def _run(script, args):
     return r
 
 
+def test_example_scripts_parse_args():
+    """Fast-loop smoke (VERDICT r3 #7): both example scripts import and
+    expose their CLI surface (--help exits 0) without touching a model."""
+    for script in ("examples/audio_to_audio_demo.py",
+                   "examples/midi_to_audio_demo.py"):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, script), "--help"],
+            capture_output=True, text=True, timeout=300, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert "--model_path" in r.stdout
+
+
+@pytest.mark.slow
 def test_audio_to_audio_demo(tmp_path):
     rcfg, run, codec = _make_run(tmp_path, "tiny")
     sr = rcfg.sr
@@ -80,6 +94,7 @@ def test_audio_to_audio_demo(tmp_path):
     assert len(y) > 0 and np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_midi_to_audio_demo(tmp_path):
     rcfg, run, codec = _make_run(tmp_path, "midi")
     sr = rcfg.sr

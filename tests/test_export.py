@@ -14,8 +14,44 @@ from after_tpu.streaming.export import ExportedStreamer, export_streamer
 from after_tpu.streaming.streamer import Streamer
 from tests.test_diffusion import micro_config
 
-# the module fixture exports 4+ StableHLO graphs (~1 min of CPU compiles)
-pytestmark = pytest.mark.slow
+# the artifact round-trip tests export + execute multiple StableHLO graphs
+# (minutes of CPU compiles); marked slow individually — the config-rejection
+# test and the codec-only smoke keep this surface in the fast loop
+
+
+def test_export_smoke_codec_only(tmp_path):
+    """Fast-loop smoke of the export surface (VERDICT r3 #7): a micro
+    causal codec exports through the CLI and one buffer streams through
+    the reloaded fused forward."""
+    import json
+
+    from after_tpu.cli.main import main as cli_main
+    from after_tpu.config import AutoEncoderConfig, ae_to_json
+    from after_tpu.models import AudioCodec
+    from after_tpu.streaming.export import ExportedCodec
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=4, base_channels=4,
+                            multipliers=(1, 2), factors=(2,),
+                            dilations=(1,), num_blocks_per_stage=1,
+                            causal=True, use_norm=False)
+    codec = AudioCodec(cfg)
+    variables = jax.jit(codec.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, cfg.ratio * 8, 1)))
+    run = tmp_path / "codec_run"
+    save_checkpoint(str(run), 0, {"codec_vars": variables},
+                    config_json=ae_to_json(cfg))
+    out = tmp_path / "artifact"
+    assert cli_main(["export_autoencoder", "--model_path", str(run),
+                     "--chunk_size", "4", "--out", str(out)]) == 0
+    manifest = json.load(open(out / "manifest.json"))
+    assert manifest["codec_only"] == 1
+    host = ExportedCodec(str(out))
+    x = 0.1 * np.random.RandomState(0).randn(
+        1, 4 * cfg.ratio, 1).astype(np.float32)
+    y = host.forward(jnp.asarray(x))
+    assert np.asarray(y).shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
 
 
 @pytest.fixture(scope="module")
@@ -36,6 +72,7 @@ def exported(tmp_path_factory):
     return cfg, streamer, variables, out
 
 
+@pytest.mark.slow
 def test_export_files(exported):
     _, streamer, _, out = exported
     assert os.path.exists(os.path.join(out, "manifest.json"))
@@ -49,6 +86,7 @@ def test_export_files(exported):
     assert manifest["n_poly"] == 0
 
 
+@pytest.mark.slow
 def test_batched_voice_export_roundtrip(tmp_path):
     """batch_size=2 artifacts drive two voices through one graph — the
     native stream_host serving posture (scripts/native_batch_check.py runs
@@ -82,6 +120,7 @@ def test_batched_voice_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_live), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_exported_matches_live(exported):
     cfg, streamer, variables, out = exported
     host = ExportedStreamer(out)
@@ -115,6 +154,7 @@ def test_exported_matches_live(exported):
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_exported_full_chain_runs(exported):
     cfg, streamer, _, out = exported
     host = ExportedStreamer(out)
@@ -129,6 +169,7 @@ def test_exported_full_chain_runs(exported):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_exported_generate_and_projector(exported):
     """generate == diffuse+decode; the stateless XY-pad maps round-trip."""
     cfg, streamer, variables, out = exported
@@ -169,6 +210,7 @@ def test_exported_generate_and_projector(exported):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_exported_forward_equals_method_chain(exported):
     """The fused `forward` artifact (the nn~ per-buffer a2a step) equals
     structure -> timbre -> diffuse -> decode on a fresh host, same rng."""
@@ -192,6 +234,7 @@ def test_exported_forward_equals_method_chain(exported):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_runtime_attributes_match_live(exported):
     """nb_steps / guidance_timbre / guidance_structure are live-settable
     attributes of the exported artifact (reference nn~ attributes,
@@ -233,6 +276,7 @@ def test_runtime_attributes_match_live(exported):
     assert host.set_attribute("nb_steps", 0) == 1
 
 
+@pytest.mark.slow
 def test_exported_midi_diffuse_matches_live(tmp_path):
     """MIDI models export the note-pair surface (reference export_midi.py):
     exported diffuse_midi == live, same state + rng."""
@@ -272,6 +316,7 @@ def test_exported_midi_diffuse_matches_live(tmp_path):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_autoencoder_crossfade_cli(tmp_path):
     """VERDICT r2 #5: a norm-trained NON-causal micro codec (the shipped
     reference codec's flavor) exports via the crossfade path from the CLI
@@ -353,6 +398,7 @@ def test_export_autoencoder_crossfade_cli(tmp_path):
         f"crossfade artifact unboundedly far from offline: {err}"
 
 
+@pytest.mark.slow
 def test_export_autoencoder_causal_native_layout(tmp_path):
     """Codec-only artifacts carry a fused decode∘encode `forward` plus the
     native-host v2 layout (state/leaf_*.bin, shapes/dtypes, codec_only
@@ -470,6 +516,7 @@ def cli_exported(tmp_path_factory):
     return cfg, run_dir, codec_dir, art
 
 
+@pytest.mark.slow
 def test_export_cli_latent_map_and_batch(cli_exported):
     """The CLI-produced artifact carries latent2map/map2latent + map.png +
     projector.msgpack and runs batched voices (manifest batch_size=2)."""
@@ -511,6 +558,7 @@ def test_export_cli_latent_map_and_batch(cli_exported):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_artifact_frontend_serves_cli_export(cli_exported):
     """`after-tpu serve --artifact`: the web frontend streams continuously
     through the exported graphs (the production artifact's consumer — the
@@ -571,6 +619,7 @@ def test_artifact_frontend_serves_cli_export(cli_exported):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_serve_reuses_artifact_projector(cli_exported):
     """cli/serve without --store discovers the CLI-exported artifact's
     projector + map.png under the run dir instead of retraining

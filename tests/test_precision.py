@@ -10,8 +10,8 @@ from after_tpu.diffusion import TransferPipeline
 from after_tpu.streaming import Streamer
 from after_tpu.utils.precision import cast_floating, resolve_dtype
 
-# each test jits a full pipeline twice (f32 + bf16): ~1 min apiece on CPU
-pytestmark = pytest.mark.slow
+# the pipeline tests jit a full graph twice (f32 + bf16): ~1 min apiece on
+# CPU, marked slow individually; the dtype-hygiene unit tests stay fast
 
 
 def micro_cfg(n_signal=32, streaming=False):
@@ -46,6 +46,7 @@ def test_cast_floating_skips_ints():
     assert out["b"].dtype == jnp.int32
 
 
+@pytest.mark.slow
 def test_pipeline_bf16_close_to_f32():
     cfg = micro_cfg(n_signal=32)
     pipe32 = TransferPipeline(cfg)
@@ -64,6 +65,7 @@ def test_pipeline_bf16_close_to_f32():
     assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 def test_streamer_bf16_runs_and_matches():
     cfg = micro_cfg(n_signal=16, streaming=True)
     pipe = TransferPipeline(cfg)
@@ -93,6 +95,7 @@ def test_streamer_bf16_runs_and_matches():
     assert cos > 0.98, cos
 
 
+@pytest.mark.slow
 def test_export_bf16_streamer_roundtrip(tmp_path):
     """A bf16 Streamer exports (state dtypes recorded as bfloat16) and the
     exported artifact reproduces the live bf16 host."""
