@@ -237,6 +237,134 @@ def postprocess_minimal(beat_logits: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# DBN postprocessor (model/postprocessor.py:31-38,142-177): the reference
+# delegates to madmom's DBNDownBeatTrackingProcessor(beats_per_bar=[3,4],
+# min_bpm=55, max_bpm=215, transition_lambda=100).  madmom isn't in this
+# image, so the bar-pointer hidden-Markov model (Boeck et al., "Joint beat
+# and downbeat tracking with recurrent neural networks", ISMIR 2016) is
+# implemented from first principles in numpy:
+#   states   (meter b, beat interval tau, beat-in-bar, position-in-beat)
+#   obs      each beat split into 16 cells; cell 0 observes the (down)beat
+#            activation, the rest (1 - beat - down)/(16 - 1)
+#   trans    deterministic position advance; at beat boundaries the tempo
+#            may change with penalty exp(-lambda * |tau'/tau - 1|)
+#   decode   exact Viterbi; beats = frames entering position 0, downbeats =
+#            beats with beat-in-bar 0, each snapped to the max activation
+#            inside its cell-0 window (madmom correct=True)
+# ---------------------------------------------------------------------------
+
+_OBS_LAMBDA = 16  # observation cells per beat (madmom default)
+
+
+def _tempo_transition(taus: np.ndarray, lam: float) -> np.ndarray:
+    """log P(tau_to | tau_from): exponential_transition, rows normalized."""
+    ratio = taus[None, :] / taus[:, None].astype(np.float64)
+    p = np.exp(-lam * np.abs(ratio - 1.0))
+    p /= p.sum(axis=1, keepdims=True)
+    return np.log(p)
+
+
+def postprocess_dbn(beat_logits: np.ndarray, downbeat_logits: np.ndarray,
+                    fps: int = FPS, beats_per_bar=(3, 4),
+                    min_bpm: float = 55.0, max_bpm: float = 215.0,
+                    transition_lambda: float = 100.0,
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint beat/downbeat decode of framewise logits via the bar-pointer
+    DBN (the reference Postprocessor(type="dbn") path)."""
+    eps = 1e-5
+    beat = 1.0 / (1.0 + np.exp(-np.asarray(beat_logits, np.float64)))
+    down = 1.0 / (1.0 + np.exp(-np.asarray(downbeat_logits, np.float64)))
+    beat = beat * (1 - eps) + eps / 2
+    down = down * (1 - eps) + eps / 2
+    # artificial multiclass activations (postp_dbn_item): [beat-only, down]
+    act = np.stack([np.maximum(beat - down, eps / 2), down], axis=1)
+    T = len(act)
+    # per-frame log-densities of the 3 observation classes
+    log_obs = np.log(np.stack([
+        np.maximum((1.0 - act.sum(1)) / (_OBS_LAMBDA - 1), 1e-30),
+        act[:, 0], act[:, 1]], axis=1))          # (T, 3)
+
+    taus = np.arange(int(round(60.0 * fps / max_bpm)),
+                     int(round(60.0 * fps / min_bpm)) + 1)
+    n_tau, tau_max = len(taus), int(taus[-1])
+    log_trans = _tempo_transition(taus, transition_lambda)
+    pos_valid = np.arange(tau_max)[None, :] < taus[:, None]   # (n_tau, pos)
+
+    best = (-np.inf, None)  # (final log prob, decoded per-frame path)
+    for b in beats_per_bar:
+        # observation class per state (n_tau, b, pos)
+        cell = (np.arange(tau_max)[None, :] * _OBS_LAMBDA) // taus[:, None]
+        obs_idx = np.where(cell == 0, 1, 0)[:, None, :] * np.ones(
+            (1, b, 1), np.int64)
+        obs_idx[:, 0, :][cell == 0] = 2        # first beat of bar: downbeat
+        n_states = b * int(taus.sum())
+        delta = np.where(pos_valid[:, None, :], -np.log(float(n_states)),
+                         -np.inf) + log_obs[0][obs_idx]
+        bp_tau = np.zeros((T, n_tau, b), np.int64)   # argmax tau' at pos 0
+        tau_end = taus - 1                           # last position per tau
+        for t in range(1, T):
+            ends = delta[np.arange(n_tau), :, tau_end]       # (n_tau, b)
+            prev_beat = ends[:, (np.arange(b) - 1) % b]      # wrap bar
+            # scores of entering pos 0 at tempo tau from each tau'
+            score = prev_beat[:, None, :] + log_trans[:, :, None]
+            bp_tau[t] = np.argmax(score, axis=0)
+            new0 = np.max(score, axis=0)                     # (n_tau, b)
+            delta[:, :, 1:] = delta[:, :, :-1]
+            delta[:, :, 0] = new0
+            delta = np.where(pos_valid[:, None, :], delta, -np.inf)
+            delta += log_obs[t][obs_idx]
+        flat = np.argmax(delta)
+        if delta.flat[flat] > best[0]:
+            ti, bi, pi = np.unravel_index(flat, delta.shape)
+            path = np.empty((T, 3), np.int64)                # tau_i, beat, pos
+            path[T - 1] = (ti, bi, pi)
+            for t in range(T - 1, 0, -1):
+                ti, bi, pi = path[t]
+                path[t - 1] = ((ti, bi, pi - 1) if pi > 0 else
+                               (bp_tau[t, ti, bi], (bi - 1) % b,
+                                int(tau_end[bp_tau[t, ti, bi]])))
+            best = (delta.flat[flat], path)
+
+    path = best[1]
+    if path is None or T == 0:
+        return np.array([]), np.array([])
+    onsets = np.nonzero(path[:, 2] == 0)[0]
+    # snap each beat to the max combined activation inside its cell-0
+    # window (madmom correct=True)
+    window = (np.arange(tau_max)[None, :] * _OBS_LAMBDA
+              < taus[:, None]).sum(1)            # cell-0 width per tempo
+    comb = act.sum(1)
+    times, numbers = [], []
+    for f in onsets:
+        w = int(window[path[f, 0]])
+        seg = comb[f:min(f + w, T)]
+        times.append((f + int(np.argmax(seg))) / fps)
+        numbers.append(int(path[f, 1]))
+    times = np.asarray(times, np.float64)
+    numbers = np.asarray(numbers)
+    return times, times[numbers == 0]
+
+
+class Postprocessor:
+    """Reference-API postprocessor (model/postprocessor.py:9-38): maps
+    framewise beat/downbeat LOGITS to (beat_times, downbeat_times) seconds
+    via "minimal" peak picking or the "dbn" bar-pointer decode."""
+
+    def __init__(self, type: str = "minimal", fps: int = FPS):
+        if type not in ("minimal", "dbn"):
+            raise ValueError(f"unknown postprocessor type: {type}")
+        self.type = type
+        self.fps = fps
+
+    def __call__(self, beat_logits, downbeat_logits
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        fn = (postprocess_minimal if self.type == "minimal"
+              else postprocess_dbn)
+        return fn(np.asarray(beat_logits), np.asarray(downbeat_logits),
+                  fps=self.fps)
+
+
+# ---------------------------------------------------------------------------
 # inference driver (inference.py Audio2Beats, chunked with borders)
 # ---------------------------------------------------------------------------
 

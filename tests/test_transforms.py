@@ -98,3 +98,49 @@ def test_downbeat_estimation():
     assert np.allclose(gaps, 2.0, atol=0.1), gaps
     # downbeats sit on the accented clicks (multiples of 2 s)
     assert np.all(np.abs(downs / 2.0 - np.round(downs / 2.0)) < 0.08), downs
+
+
+def test_dbn_postprocessor_decodes_regular_grid():
+    """The bar-pointer DBN (reference Postprocessor(type="dbn") via madmom,
+    beat_this/model/postprocessor.py:31-38) decodes a steady 150-bpm 4/4
+    pulse and, unlike minimal peak picking, restores a MISSING beat from
+    the tempo prior."""
+    import numpy as np
+
+    from after_tpu.dataset.beat_tracker import (FPS, Postprocessor,
+                                                postprocess_dbn,
+                                                postprocess_minimal)
+
+    T, period, bar = 400, 20, 4  # 20 frames @ 50 fps = 150 bpm, 4/4
+    beat_logits = np.full(T, -6.0)
+    down_logits = np.full(T, -6.0)
+    beat_frames = np.arange(10, T, period)
+    for i, f in enumerate(beat_frames):
+        beat_logits[f] = 6.0
+        if i % bar == 0:
+            down_logits[f] = 6.0
+
+    # knock one beat out entirely (frame 10 + 8*20 = 170)
+    beat_logits[170] = -6.0
+
+    beats, downs = postprocess_dbn(beat_logits, down_logits)
+    assert len(beats) >= 18
+    iv = np.diff(beats)
+    np.testing.assert_allclose(iv, period / FPS, atol=1.5 / FPS)
+    # the missing beat is reconstructed on the grid
+    assert np.min(np.abs(beats - 170 / FPS)) < 2.0 / FPS
+    # minimal peak picking cannot: it has no tempo model
+    mb, _ = postprocess_minimal(beat_logits, down_logits)
+    assert np.min(np.abs(mb - 170 / FPS)) > 5.0 / FPS
+    # downbeats are a subset of beats, one per bar
+    assert all(np.min(np.abs(beats - d)) < 1e-9 for d in downs)
+    assert 4 <= len(downs) <= 6
+    dv = np.diff(downs)
+    np.testing.assert_allclose(dv, bar * period / FPS, atol=2.5 / FPS)
+
+    # the reference-shaped API dispatches both types
+    pp = Postprocessor(type="dbn")
+    b2, d2 = pp(beat_logits, down_logits)
+    np.testing.assert_allclose(b2, beats)
+    np.testing.assert_allclose(d2, downs)
+    assert Postprocessor(type="minimal")(beat_logits, down_logits)
