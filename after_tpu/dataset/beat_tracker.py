@@ -272,8 +272,10 @@ def postprocess_dbn(beat_logits: np.ndarray, downbeat_logits: np.ndarray,
     """Joint beat/downbeat decode of framewise logits via the bar-pointer
     DBN (the reference Postprocessor(type="dbn") path)."""
     eps = 1e-5
-    beat = 1.0 / (1.0 + np.exp(-np.asarray(beat_logits, np.float64)))
-    down = 1.0 / (1.0 + np.exp(-np.asarray(downbeat_logits, np.float64)))
+    # tanh form is overflow-free for the -1000 border fills
+    beat = 0.5 * (1.0 + np.tanh(0.5 * np.asarray(beat_logits, np.float64)))
+    down = 0.5 * (1.0 + np.tanh(0.5 * np.asarray(downbeat_logits,
+                                                 np.float64)))
     beat = beat * (1 - eps) + eps / 2
     down = down * (1 - eps) + eps / 2
     # artificial multiclass activations (postp_dbn_item): [beat-only, down]
@@ -374,11 +376,15 @@ class Audio2Beats:
 
     checkpoint_path: torch state dict (.pth / torchscript-free) of the
     reference BeatThis model; None runs the randomly-initialized network
-    (only useful for tests — prefer transforms.estimate_beats then)."""
+    (only useful for tests — prefer transforms.estimate_beats then).
+    dbn switches peak picking to the bar-pointer Viterbi decode
+    (reference inference.py:294-301 Audio2Beats(dbn=...))."""
 
     CHUNK, BORDER = 1500, 6
 
-    def __init__(self, checkpoint_path: Optional[str] = None):
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 dbn: bool = False):
+        self.postprocessor = Postprocessor(type="dbn" if dbn else "minimal")
         self.net = BeatThis()
         if checkpoint_path:
             self.variables = load_torch_weights(checkpoint_path)
@@ -418,7 +424,7 @@ class Audio2Beats:
             down[take_lo:take_hi] = d[src_lo:src_lo + take_hi - take_lo]
         # the first border frames never get predictions (reference masks
         # borders too); leave them at -1000 (never peaks)
-        return postprocess_minimal(beat, down)
+        return self.postprocessor(beat, down)
 
 
 # ---------------------------------------------------------------------------
