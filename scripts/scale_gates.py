@@ -1,0 +1,189 @@
+"""Objective quality gates for the scale run (VERDICT r4 ask #1).
+
+Run AFTER scripts/scale_run.py completes; reads WORK/scale_run_summary.json
+and the run dirs, executes the gates below, merges a "gates" section back
+into the summary, and exits non-zero if any gate fails.  The role of the
+reference's human-in-the-loop TensorBoard validation
+(/root/reference/after/diffusion/model.py:458-561) made objective.
+
+  G1 codec_recon      last held-out val_mrstft < threshold AND below
+                      0.7x the first training mrstft (the codec learned)
+  G2 gan_engaged      feature-matching loss present and nonzero after the
+                      adversarial warmup
+  G3 diffusion_learn  last val_diffusion_loss below the first
+  G4 restart_resumed  diffusion metrics continue across the forced restart
+                      step with no gap and no step repeats
+  G5 timbre_transfer  ECAPA timbre embedding of a transferred held-out
+                      sample is closer (cosine) to the TARGET timbre than
+                      to the source's
+  G6 playback_finite  stage-8 exported playback produced finite audio
+
+Usage: python scripts/scale_gates.py [--work /tmp/after_scale]
+       [--mrstft_threshold 3.0] [--nb_steps 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 44100
+
+
+def metrics_rows(run_dir):
+    rows = []
+    path = os.path.join(run_dir, "metrics.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except ValueError:
+                    pass
+    return rows
+
+
+def series(rows, key):
+    return [(r["step"], r[key]) for r in rows if key in r]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/after_scale")
+    ap.add_argument("--mrstft_threshold", type=float, default=3.0)
+    ap.add_argument("--nb_steps", type=int, default=20)
+    ap.add_argument("--guidance_timbre", type=float, default=2.0)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    work = args.work
+    spath = os.path.join(work, "scale_run_summary.json")
+    with open(spath) as f:
+        summary = json.load(f)
+    codec_dir = os.path.join(work, "runs", "scale_codec")
+    dif_dir = os.path.join(work, "runs", "scale_dif")
+    gates = {}
+
+    # ---- G1 / G2: codec metrics ---------------------------------------
+    ae_rows = metrics_rows(codec_dir)
+    mr = series(ae_rows, "mrstft")
+    val_mr = series(ae_rows, "val_mrstft")
+    last_val = val_mr[-1][1] if val_mr else float("inf")
+    first_mr = mr[0][1] if mr else float("inf")
+    gates["codec_recon"] = {
+        "first_mrstft": first_mr, "last_val_mrstft": last_val,
+        "threshold": args.mrstft_threshold,
+        "pass": bool(last_val < args.mrstft_threshold
+                     and last_val < 0.7 * first_mr)}
+    fm = [v for s, v in series(ae_rows, "feature_matching") if v != 0.0]
+    gates["gan_engaged"] = {"nonzero_feature_matching_rows": len(fm),
+                            "last": fm[-1] if fm else None,
+                            "pass": bool(fm)}
+
+    # ---- G3 / G4: diffusion metrics -----------------------------------
+    dif_rows = metrics_rows(dif_dir)
+    val_dl = series(dif_rows, "val_diffusion_loss")
+    gates["diffusion_learn"] = {
+        "first": val_dl[0] if val_dl else None,
+        "last": val_dl[-1] if val_dl else None,
+        "pass": bool(val_dl and val_dl[-1][1] < val_dl[0][1])}
+    steps = [r["step"] for r in dif_rows if "diffusion_loss" in r]
+    restart_step = summary.get("restart_step")
+    monotonic = all(b > a for a, b in zip(steps, steps[1:]))
+    spans = bool(steps) and restart_step is not None and \
+        steps[0] < restart_step < steps[-1]
+    if restart_step is None:  # summary predates the field: infer from spans
+        spans = True
+    gates["restart_resumed"] = {
+        "monotonic_steps": monotonic, "restart_step": restart_step,
+        "first_step": steps[0] if steps else None,
+        "last_step": steps[-1] if steps else None,
+        "pass": bool(monotonic and spans and steps)}
+
+    # ---- G5: timbre transfer gate (runs the model) --------------------
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from after_tpu.config import from_json, load_codec_config, with_overrides
+    from after_tpu.dataset.audio import load_wav
+    from after_tpu.diffusion import TransferPipeline
+    from after_tpu.utils.checkpoint import restore_checkpoint
+
+    with open(os.path.join(dif_dir, "config.json")) as f:
+        cfg = from_json(f.read())
+    cfg = with_overrides(
+        cfg, {"autoencoder": load_codec_config(codec_dir)})
+    restored = restore_checkpoint(dif_dir)
+    diff_vars = dict(restored["variables"])
+    if "ema_params" in restored:
+        diff_vars["net"] = {**diff_vars["net"],
+                            "params": restored["ema_params"]}
+    codec_vars = restore_checkpoint(codec_dir)["codec_vars"]
+    variables = {"codec": codec_vars, "diffusion": diff_vars}
+    pipe = TransferPipeline(cfg)
+
+    # held-out corpus pair with different synth kinds (corpus kind = i % 4:
+    # FM / plucked / saw pad / breath) — the last two files are never seen
+    # with these indices in training crops' timbre pairing
+    corpus = os.path.join(work, "corpus")
+    n = 4 * cfg.autoencoder.ratio * 32  # 128 latent frames ~ 6 s
+    def load(i):
+        x, sr = load_wav(os.path.join(corpus, f"tone_{i:03d}.wav"))
+        assert sr == SR
+        x = np.asarray(x, np.float32)[:n]
+        return jnp.asarray(x)[None, :, None]
+
+    src, tgt = load(94), load(95)   # kinds 2 (saw pad) and 3 (breath)
+    out = pipe.transfer(variables, src, tgt, args.nb_steps,
+                        guidance_timbre=args.guidance_timbre,
+                        rng=jax.random.PRNGKey(0))
+
+    def timbre_of(audio):
+        z = pipe.encode(variables, audio)
+        return np.asarray(pipe.timbre(variables, z))[0]
+
+    zt_src, zt_tgt = timbre_of(src), timbre_of(tgt)
+    zt_out = timbre_of(jnp.asarray(np.asarray(out)))
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    c_tgt, c_src = cos(zt_out, zt_tgt), cos(zt_out, zt_src)
+    finite = bool(np.isfinite(np.asarray(out)).all())
+    gates["timbre_transfer"] = {
+        "cos_to_target": c_tgt, "cos_to_source": c_src,
+        "output_finite": finite, "pass": bool(finite and c_tgt > c_src)}
+
+    # save the audible evidence next to the summary
+    from after_tpu.dataset.audio import save_wav
+    for name, a in (("gate_source", src), ("gate_target", tgt),
+                    ("gate_transfer", out)):
+        save_wav(os.path.join(work, f"{name}.wav"),
+                 np.clip(np.asarray(a)[0, :, 0], -1, 1), SR)
+
+    # ---- G6: stage-8 playback -----------------------------------------
+    sp = summary.get("stages", {}).get("stream_playback", {})
+    gates["playback_finite"] = {
+        "peak": sp.get("peak"), "buffers": sp.get("buffers"),
+        "pass": bool(sp and np.isfinite(sp.get("peak", np.nan))
+                     and sp.get("peak", 0) > 0)}
+
+    summary["gates"] = gates
+    with open(spath, "w") as f:
+        json.dump(summary, f, indent=1)
+    ok = all(g["pass"] for g in gates.values())
+    print(json.dumps(gates, indent=1))
+    print("GATES:", "ALL PASS" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

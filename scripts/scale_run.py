@@ -243,6 +243,7 @@ def main():
     if args.skip_to <= 6:
         dt = run_stage("train_dif_p2", dif_common + [
             "--max_steps", str(dif_end), "--restart", str(dif_mid)], work)
+        summary["restart_step"] = dif_mid  # scripts/scale_gates.py G4
         record("train_dif_p2", dt)
         summary["stages"]["train_dif_p2"]["metrics"] = metrics_summary(
             os.path.join(runs, "scale_dif"),
