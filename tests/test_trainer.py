@@ -28,6 +28,35 @@ def test_shuffle_time_chunks():
     np.testing.assert_allclose(np.sort(np.asarray(y), axis=1),
                                np.sort(np.asarray(x), axis=1))
 
+    # the index-gather form is bit-identical to the materializing form it
+    # replaced (same rng stream — reproducibility of existing runs)
+    def materializing(rng, x, sizes):
+        B, T, C = x.shape
+        k_choice, *k_perms = jax.random.split(rng, len(sizes) + 1)
+        variants = []
+        for s, kp in zip(sizes, k_perms):
+            nch = T // s
+            xr = x[:, :nch * s].reshape(B, nch, s, C)
+            perms = jax.vmap(lambda k: jax.random.permutation(k, nch))(
+                jax.random.split(kp, B))
+            shuffled = jax.vmap(lambda xi, p: xi[p])(xr, perms)
+            shuffled = shuffled.reshape(B, nch * s, C)
+            if nch * s < T:
+                shuffled = jnp.concatenate([shuffled, x[:, nch * s:]],
+                                           axis=1)
+            variants.append(shuffled)
+        choice = jax.random.randint(k_choice, (B,), 0, len(sizes))
+        stacked = jnp.stack(variants, axis=0)
+        return jnp.take_along_axis(
+            stacked, choice[None, :, None, None], axis=0)[0]
+
+    for key in (0, 1, 7):
+        for sizes in ((4, 8), (5,), (8, 16, 32)):
+            k = jax.random.PRNGKey(key)
+            np.testing.assert_array_equal(
+                np.asarray(shuffle_time_chunks(k, x, sizes)),
+                np.asarray(materializing(k, x, sizes)))
+
 
 @pytest.mark.slow
 def test_phase1_training_steps():
