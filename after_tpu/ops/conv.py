@@ -192,6 +192,38 @@ class StreamConv1d(nn.Module):
                           self.mode, in_delay)
 
 
+# lax.conv_transpose lowers on TPU via input dilation: a stride-1 conv over
+# a signal with f-1 zeros inserted between frames, wasting (f-1)/f of the
+# MACs on zeros unless XLA strength-reduces it.  The subpixel form computes
+# the same outputs as two dense einsums (x @ W_phase -> (T, f, C_out) blocks
+# overlap-added and reshaped) — pure MXU matmuls, zero waste.  Exact same
+# math modulo float reduction order; toggle for A/B.
+_MATMUL_UPSAMPLE = True
+
+
+def use_matmul_upsample(enable: bool) -> None:
+    """Globally toggle the subpixel-matmul transpose-conv path."""
+    global _MATMUL_UPSAMPLE
+    _MATMUL_UPSAMPLE = enable
+
+
+def _subpixel_conv_transpose(x: jnp.ndarray, kernel: jnp.ndarray,
+                             stride: int) -> jnp.ndarray:
+    """Un-trimmed VALID transpose conv for kernel_size == 2*stride as two
+    phase matmuls + overlap-add; equals lax.conv_transpose(..., "VALID")
+    with the same (k, in, out) kernel (which applies the kernel flipped:
+    y[t] = sum_j x[j] @ k[K-1-(t - f*j)])."""
+    f = stride
+    B, T, _ = x.shape
+    Cout = kernel.shape[-1]
+    wf = kernel[::-1]                                   # flip once, host-free
+    a = jnp.einsum("btc,pco->btpo", x, wf[:f])          # phases 0..f-1
+    b = jnp.einsum("btc,pco->btpo", x, wf[f:])          # phases f..2f-1
+    blocks = (jnp.pad(a, ((0, 0), (0, 1), (0, 0), (0, 0)))
+              + jnp.pad(b, ((0, 0), (1, 0), (0, 0), (0, 0))))
+    return blocks.reshape(B, (T + 1) * f, Cout)
+
+
 class StreamConvTranspose1d(nn.Module):
     """Transposed 1-D conv (upsampler) over (B, T, C) with streaming overlap-add.
 
@@ -243,11 +275,14 @@ class StreamConvTranspose1d(nn.Module):
             bias = bias.astype(dtype)
 
         # Full (un-trimmed) transposed conv: length in*f + (k - f).
-        y = jax.lax.conv_transpose(
-            x, kernel,
-            strides=(self.stride,),
-            padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"))
+        if _MATMUL_UPSAMPLE and self.kernel_size == 2 * self.stride:
+            y = _subpixel_conv_transpose(x, kernel, self.stride)
+        else:
+            y = jax.lax.conv_transpose(
+                x, kernel,
+                strides=(self.stride,),
+                padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"))
 
         tail = self.kernel_size - self.stride   # overlap length
         if self.streaming:

@@ -269,3 +269,42 @@ def test_bf16_dft_close_to_f32():
     f16 = float(multi_resolution_stft_loss(a, c, tc16))
     assert f16 >= f32 * 0.98, (f32, f16)          # it is a floor, not noise
     assert f16 - f32 < 0.1, (f32, f16)            # and a bounded one
+
+
+def test_subpixel_transpose_conv_matches_lax():
+    """The subpixel-matmul upsampler equals lax.conv_transpose (values +
+    grads) for the codec's kernel=2f stride=f geometry, offline and
+    streaming."""
+    import numpy as np
+
+    from after_tpu.ops.conv import use_matmul_upsample
+
+    rng = np.random.RandomState(0)
+    for f, Cin, Cout, T in ((2, 3, 5, 12), (4, 8, 6, 16), (4, 1, 1, 8)):
+        x = jnp.asarray(rng.randn(2, T, Cin).astype(np.float32))
+        up = StreamConvTranspose1d(features=Cout, kernel_size=2 * f,
+                                   stride=f)
+        variables = up.init(jax.random.PRNGKey(1), x)
+
+        def loss(v, use):
+            use_matmul_upsample(use)
+            try:
+                return jnp.sum(jnp.sin(up.apply(v, x)))
+            finally:
+                use_matmul_upsample(True)
+
+        try:
+            use_matmul_upsample(True)
+            y_sub = up.apply(variables, x)
+            use_matmul_upsample(False)
+            y_lax = up.apply(variables, x)
+        finally:
+            use_matmul_upsample(True)
+        np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_lax),
+                                   atol=2e-5)
+        g_sub = jax.grad(loss)(variables, True)
+        g_lax = jax.grad(loss)(variables, False)
+        for a, b in zip(jax.tree_util.tree_leaves(g_sub),
+                        jax.tree_util.tree_leaves(g_lax)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
