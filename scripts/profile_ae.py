@@ -236,3 +236,60 @@ print(json.dumps({"metric": "ae_gen_step_decomposition", "batch": B,
                   "parts_tflops": {
                       k: round(v["flops"] / (v["ms"] / 1e3) / 1e12, 2)
                       for k, v in results.items() if v["flops"]}}))
+
+
+# ---- sub-codec decomposition (round 4): encoder vs decoder vs noise ------
+
+if {"enc_fwd", "dec_fwd", "dec_nonoise", "dec_grad", "pqmf"} & set(PARTS):
+    import dataclasses
+    from after_tpu.models import AudioCodec
+
+    codec = trainer.codec
+    z0 = jax.block_until_ready(
+        jax.jit(lambda cx: codec.apply(state.codec_vars, cx,
+                                       method=AudioCodec.encode))(x))
+
+if "pqmf" in PARTS:
+    @jax.jit
+    def pqmf_fn(cx):
+        xb = codec.apply(state.codec_vars, cx,
+                         method=lambda m, a: m.pqmf(a))
+        return jnp.sum(xb) + cx.ravel()[0]
+    _run_chained("pqmf", pqmf_fn, x)
+
+if "enc_fwd" in PARTS:
+    @jax.jit
+    def enc_fn(cx):
+        z = codec.apply(state.codec_vars, cx, method=AudioCodec.encode)
+        return jnp.sum(z)
+    _run_chained("enc_fwd", enc_fn, x)
+
+if "dec_fwd" in PARTS:
+    @jax.jit
+    def dec_fn(cz):
+        y = codec.apply(state.codec_vars, cz, method=AudioCodec.decode,
+                        rngs={"noise": jax.random.PRNGKey(2)})
+        return jnp.sum(y)
+    _run_chained("dec_fwd", dec_fn, z0)
+
+if "dec_nonoise" in PARTS:
+    # same params tree (flax ignores the unused noise subtree): decoder
+    # cost with the filtered-noise branch compiled out
+    codec_nn = AudioCodec(dataclasses.replace(ae_cfg, use_noise=False))
+
+    @jax.jit
+    def dec_nn_fn(cz):
+        y = codec_nn.apply(state.codec_vars, cz, method=AudioCodec.decode)
+        return jnp.sum(y)
+    _run_chained("dec_nonoise", dec_nn_fn, z0)
+
+if "dec_grad" in PARTS:
+    @jax.jit
+    def dec_grad_fn2(cz):
+        def loss(zz):
+            y = codec.apply(state.codec_vars, zz, method=AudioCodec.decode,
+                            rngs={"noise": jax.random.PRNGKey(2)})
+            return jnp.mean(y * y)
+        l, g = jax.value_and_grad(loss)(cz)
+        return l + 1e-9 * g.ravel()[0]
+    _run_chained("dec_grad", dec_grad_fn2, z0)
