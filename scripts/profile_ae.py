@@ -20,6 +20,11 @@ jax.config.update("jax_compilation_cache_dir",
                                "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+if os.environ.get("SUBPIXEL_UP") == "0":
+    # A/B knob: fall back to lax.conv_transpose upsamplers
+    from after_tpu.ops.conv import use_matmul_upsample
+    use_matmul_upsample(False)
+
 from after_tpu.autoencoder import AutoencoderTrainer
 from after_tpu.autoencoder.losses import multi_resolution_stft_loss
 from after_tpu.config import AETrainConfig, get_ae_config
