@@ -206,8 +206,12 @@ def main():
 
     if args.skip_to <= 3:
         dt = run_stage("train_ae", [
-            "train_autoencoder", "--name", "scale_codec", "--db_path",
-            db_raw, "--out_path", runs, "--max_steps", str(ae_steps),
+            # --streaming trains the codec causal/norm-free: stage 7's fused
+            # a2a export needs a causal codec (non-causal codecs export via
+            # the separate crossfade path, cli/export.py export_autoencoder)
+            "train_autoencoder", "--name", "scale_codec", "--streaming",
+            "--db_path", db_raw, "--out_path", runs,
+            "--max_steps", str(ae_steps),
             "--override", f"train.warmup_steps={ae_warm}",
             "--override", f"train.steps_save={ae_steps // 2}",
             "--override", f"train.steps_valid={ae_steps // 3}",
