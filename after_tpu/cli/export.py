@@ -87,12 +87,12 @@ def main(cmd: str, argv=None) -> int:
                 "with config_json, or copy the run's config.json)")
         codec_cfg = load_codec_config(args.emb_model_path)
         if not codec_cfg.causal:
-            raise SystemExit(
-                f"[{cmd}] the codec at {args.emb_model_path} is NON-CAUSAL "
-                "(causal=false in its config.json): the fused streaming "
-                "graph needs a causal codec. Export the codec separately "
-                "with `after-tpu export_autoencoder --crossfade` "
-                "(reference AE_notcausal) or retrain with --streaming.")
+            # non-causal codecs (the reference's shipped flavor) stream via
+            # the crossfade path inside the Streamer; the artifact's
+            # decode_lag_* manifest keys record the extra latency
+            print(f"[{cmd}] non-causal codec: streaming via the crossfade "
+                  f"path (n_fade={args.n_fade} latent frames of extra "
+                  "latency)")
         if codec_cfg.z_channels != cfg.denoiser.n_channels:
             raise SystemExit(
                 f"[{cmd}] codec z_channels={codec_cfg.z_channels} does not "
@@ -132,7 +132,8 @@ def main(cmd: str, argv=None) -> int:
 
     streamer = Streamer(cfg, chunk_size=args.chunk_size,
                         latent_range=args.latent_range,
-                        compute_dtype=args.compute_dtype)
+                        compute_dtype=args.compute_dtype,
+                        n_fade=args.n_fade)
     variables = streamer.prepare_variables(variables)
     out = args.out or os.path.join(
         args.model_path,

@@ -199,6 +199,14 @@ def export_streamer(streamer: Streamer, variables: Dict[str, Any],
         "batch_size": batch_size,
         "ratio": streamer.ratio,
         "sr": cfg.sr,
+        # streamed decode/forward latency a host should compensate:
+        # crossfade overlap for non-causal codecs, the causal decoder's
+        # static transpose-conv delay otherwise (same keys as the
+        # codec-only manifest)
+        "decode_lag_frames": streamer.decode_lag_frames,
+        "decode_lag_samples": streamer.decode_lag_samples,
+        "streaming": ("crossfade" if streamer.crossfade is not None
+                      else "cached"),
         "nb_steps": nb_steps,
         # live-settable attribute defaults + bounds (the nn~ attribute
         # registry equivalent); hosts feed these as trailing scalar inputs

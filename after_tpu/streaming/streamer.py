@@ -19,9 +19,13 @@ decoder caches, structure-encoder conv caches, per-diffusion-step denoiser KV
 caches (batch 3B for the CFG triple), and the timbre ring buffer
 (export.py:208-212 previous_timbre).
 
-Requires a causal codec config (`autoencoder.causal=True`); the reference's
-non-causal crossfade path (export_autoencoder.py:131-153) is a separate
-export mode.
+Causal codecs stream exactly through cached convs.  NON-causal codecs (the
+reference's shipped base codec) stream through the crossfade path the
+reference uses for them (export_autoencoder.py:131-153 AE_notcausal, loaded
+as the Streamer's emb_model in export.py:159-168): context-window encode +
+overlap cross-faded decode, so `decode`/`forward` output lags by
+``n_fade`` latent frames (``Streamer.decode_lag_samples``, recorded in the
+export manifest for hosts to compensate).
 """
 
 from __future__ import annotations
@@ -60,19 +64,17 @@ jax.tree_util.register_dataclass(
 class Streamer:
 
     def __init__(self, cfg: AfterConfig, chunk_size: int = 4,
-                 latent_range: float = 1.0, compute_dtype=None):
+                 latent_range: float = 1.0, compute_dtype=None,
+                 n_fade: int = 4):
         """compute_dtype: e.g. jnp.bfloat16 runs the per-buffer compute at
         that precision (conv/KV caches included); audio/latent I/O stays
         f32.  Call `prepare_variables` once so the per-call param casts
-        fold away."""
+        fold away.  n_fade: crossfade overlap in latent frames for
+        non-causal codecs (ignored for causal ones)."""
         if cfg.denoiser.arch == "unet1d":
             raise ValueError(
                 "denoiser arch 'unet1d' is offline-only (no streaming "
                 "caches) — use TransferPipeline, or arch 'v2'/'v1'")
-        if not cfg.autoencoder.causal:
-            raise ValueError(
-                "streaming requires a causal codec config "
-                "(get_config(..., 'streaming'))")
         self.cfg = cfg
         self.compute_dtype = resolve_dtype(compute_dtype)
         self.chunk_size = chunk_size
@@ -92,7 +94,18 @@ class Streamer:
                 "midi models use the 128-bin piano roll as structure "
                 f"(zs_channels=128); config has {cfg.zs_channels}")
 
-        self.codec = AudioCodec(cfg.autoencoder, streaming=True)
+        if cfg.autoencoder.causal:
+            self.crossfade = None
+            self.codec = AudioCodec(cfg.autoencoder, streaming=True)
+        else:
+            # the reference streams its shipped NON-causal codec via the
+            # crossfade TS export loaded as the Streamer's emb_model
+            # (export.py:159-168 + export_autoencoder.py AE_notcausal)
+            from .crossfade import CrossfadeDecoder
+            self.crossfade = CrossfadeDecoder(cfg.autoencoder,
+                                              n_fade=n_fade,
+                                              chunk_size=chunk_size)
+            self.codec = self.crossfade.codec
         self.rf = make_model(cfg)
         self.enc_time = (Encoder1D(cfg.encoder_time, streaming=True)
                          if cfg.encoder_time is not None else None)
@@ -118,10 +131,16 @@ class Streamer:
         z_ch = cfg.autoencoder.z_channels
         T = self.chunk_size
 
-        enc_cache = init_stream_state(self.codec, jnp.zeros((B, A, 1)),
-                                      method=AudioCodec.encode)
-        dec_cache = init_stream_state(self.codec, jnp.zeros((B, T, z_ch)),
-                                      method=AudioCodec.decode)
+        if self.crossfade is not None:
+            cv = variables["codec"]
+            enc_cache = self.crossfade.init_encode_state(cv, B)
+            dec_cache = self.crossfade.init_state(cv, B)
+        else:
+            enc_cache = init_stream_state(self.codec, jnp.zeros((B, A, 1)),
+                                          method=AudioCodec.encode)
+            dec_cache = init_stream_state(self.codec,
+                                          jnp.zeros((B, T, z_ch)),
+                                          method=AudioCodec.decode)
         et_cache = (init_stream_state(self.enc_time,
                                       jnp.zeros((B, T, z_ch)))
                     if self.enc_time is not None else {})
@@ -146,6 +165,9 @@ class Streamer:
     # ------------------------------------------------------------------
 
     def _codec_encode(self, variables, cache, audio):
+        if self.crossfade is not None:
+            return self.crossfade.encode(self._cd(variables["codec"]),
+                                         cache, self._cd(audio))
         z, aux = self.codec.apply(
             {**self._cd(variables["codec"]), "cache": cache},
             self._cd(audio), method=AudioCodec.encode, mutable=["cache"])
@@ -203,11 +225,32 @@ class Streamer:
     @partial(jax.jit, static_argnums=0)
     def decode(self, variables, state: StreamState, z: jnp.ndarray
                ) -> Tuple[jnp.ndarray, StreamState]:
+        if self.crossfade is not None:
+            y, cf = self.crossfade.decode(self._cd(variables["codec"]),
+                                          state.codec_dec, self._cd(z))
+            return (y.astype(jnp.float32),
+                    dataclasses.replace(state, codec_dec=cf))
         y, aux = self.codec.apply(
             {**self._cd(variables["codec"]), "cache": state.codec_dec},
             self._cd(z), method=AudioCodec.decode, mutable=["cache"])
         return (y.astype(jnp.float32),
                 dataclasses.replace(state, codec_dec=aux["cache"]))
+
+    @property
+    def decode_lag_frames(self) -> int:
+        """Latent frames the streamed decode lags behind its input
+        (crossfade overlap; 0 for causal codecs, whose residual lag is the
+        sample-level transpose-conv delay below)."""
+        return self.crossfade.n_fade if self.crossfade is not None else 0
+
+    @property
+    def decode_lag_samples(self) -> int:
+        """Total decode latency in samples a host should compensate."""
+        from ..models.autoencoder import decoder_band_delay
+        cfg = self.cfg.autoencoder
+        if self.crossfade is not None:
+            return self.crossfade.n_fade * cfg.ratio
+        return decoder_band_delay(cfg) * cfg.pqmf_bands
 
     def forward(self, variables, state: StreamState,
                 audio_structure: jnp.ndarray, audio_timbre: jnp.ndarray,

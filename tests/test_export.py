@@ -642,28 +642,75 @@ def test_serve_reuses_artifact_projector(cli_exported):
     app.set_xy(0.1, 0.2)
 
 
-def test_export_cli_rejects_noncausal_codec(tmp_path):
-    """VERDICT r2 weak #1: the a2a export must fail loudly when the codec
-    run's own config is non-causal instead of force-overriding causal=True
-    (which silently drops gn params and corrupts audio)."""
+def test_export_cli_rejects_codec_without_config(tmp_path):
+    """The a2a export adopts the codec run's OWN architecture config
+    (VERDICT r2 weak #1: force-overriding causal=True silently dropped gn
+    params); a codec dir without config.json is refused loudly."""
     from after_tpu.cli.main import main as cli_main
-    from after_tpu.config import AutoEncoderConfig, ae_to_json, to_json
+    from after_tpu.config import to_json
 
     run = tmp_path / "diff_run"
     run.mkdir()
     (run / "config.json").write_text(to_json(micro_config()))
-    codec_dir = tmp_path / "codec_run"
-    codec_dir.mkdir()
-    (codec_dir / "config.json").write_text(
-        ae_to_json(AutoEncoderConfig(causal=False)))
-
-    with pytest.raises(SystemExit, match="NON-CAUSAL"):
-        cli_main(["export", "--model_path", str(run),
-                  "--emb_model_path", str(codec_dir)])
-
-    # and a codec dir without config.json is also refused
     bare = tmp_path / "bare_codec"
     bare.mkdir()
     with pytest.raises(SystemExit, match="config.json"):
         cli_main(["export", "--model_path", str(run),
                   "--emb_model_path", str(bare)])
+
+
+@pytest.mark.slow
+def test_export_cli_noncausal_crossfade_streamer(tmp_path):
+    """NON-causal codecs (the reference's shipped flavor) export through
+    the fused Streamer via the crossfade path (reference export.py loads
+    the AE_notcausal .ts as the Streamer's emb_model): artifact carries
+    decode_lag_* metadata and the exported forward equals the live
+    crossfade Streamer buffer by buffer."""
+    import json
+
+    from after_tpu.cli.main import main as cli_main
+    from after_tpu.config import ae_to_json, to_json
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = micro_config()   # tiny default: non-causal, norm-trained codec
+    assert not cfg.autoencoder.causal and cfg.autoencoder.use_norm
+    pipe = TransferPipeline(cfg)
+    variables = jax.jit(pipe.init)(jax.random.PRNGKey(0))
+
+    run_dir, codec_dir = str(tmp_path / "run"), str(tmp_path / "codec")
+    save_checkpoint(
+        run_dir, 1,
+        {"variables": variables["diffusion"],
+         "ema_params": variables["diffusion"]["net"]["params"], "step": 1},
+        config_json=to_json(cfg))
+    save_checkpoint(codec_dir, 1,
+                    {"codec_vars": variables["codec"], "step": 1},
+                    config_json=ae_to_json(cfg.autoencoder))
+
+    out = str(tmp_path / "artifact")
+    rc = cli_main(["export", "--model_path", run_dir,
+                   "--emb_model_path", codec_dir, "--nb_steps", "1",
+                   "--n_fade", "2", "--out", out])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["streaming"] == "crossfade"
+    assert manifest["decode_lag_frames"] == 2
+    assert manifest["decode_lag_samples"] == 2 * cfg.autoencoder.ratio
+
+    streamer = Streamer(cfg, chunk_size=4, n_fade=2)
+    host = ExportedStreamer(out)
+    live_state = streamer.init_state(variables, 1)
+    rs = np.random.RandomState(3)
+    for i in range(4):
+        a = jnp.asarray(0.05 * rs.randn(1, streamer.audio_chunk, 1)
+                        .astype(np.float32))
+        b = jnp.asarray(0.05 * rs.randn(1, streamer.audio_chunk, 1)
+                        .astype(np.float32))
+        key = jax.random.PRNGKey(60 + i)
+        y_live, live_state = streamer.forward(variables, live_state, a, b,
+                                              1, rng=key)
+        y_exp = host.call("forward", a, b, jax.random.key_data(key))
+        assert np.asarray(y_exp).shape == (1, streamer.audio_chunk, 1)
+        np.testing.assert_allclose(np.asarray(y_exp), np.asarray(y_live),
+                                   atol=1e-5)
+    assert np.isfinite(np.asarray(y_exp)).all()
