@@ -258,7 +258,10 @@ def main():
         dt = run_stage("export", [
             "export", "--model_path", os.path.join(runs, "scale_dif"),
             "--emb_model_path", os.path.join(runs, "scale_codec"),
-            "--nb_steps", "4"], work)
+            "--nb_steps", "4",
+            # bake the XY-pad timbre map from the run's own dataset
+            # (reference export.py:109-129 latent_project behavior)
+            "--db_path", db], work)
         record("export", dt)
 
     if args.skip_to <= 8:
