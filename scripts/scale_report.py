@@ -135,6 +135,28 @@ def main():
                  "(they weigh noise levels differently); each should "
                  "decrease within its own run.\n")
 
+    # exported artifact inventory (shows the baked XY-pad latent map)
+    dif_dir = os.path.join(w, "runs", "scale_dif")
+    art = None
+    if os.path.isdir(dif_dir):
+        for d in sorted(os.listdir(dif_dir)):
+            if d.startswith("after.audio"):
+                art = os.path.join(dif_dir, d)
+    if art and os.path.exists(os.path.join(art, "manifest.json")):
+        with open(os.path.join(art, "manifest.json")) as f:
+            man = json.load(f)
+        L.append("## Exported artifact\n")
+        L.append(f"- dir: `{os.path.basename(art)}`")
+        L.append(f"- methods: {sorted(man.get('methods', {}))}")
+        for key in ("batch_size", "latent_map", "audio_chunk", "nb_steps"):
+            if key in man:
+                L.append(f"- {key}: {man[key]}")
+        extras = [p for p in ("map.png", "projector.msgpack")
+                  if os.path.exists(os.path.join(art, p))]
+        if extras:
+            L.append(f"- XY-pad surface files present: {extras}")
+        L.append("")
+
     L.append("## Raw summary\n")
     L.append("```json")
     L.append(json.dumps(summary, indent=1))
