@@ -165,6 +165,26 @@ def main(argv=None) -> int:
                 return
             batch = np.stack(pending)
             zs = encoder(batch) if encoder is not None else None
+            # encode PSTS augmentations at the SAME batched shape as the
+            # originals: one reused compiled graph + one relay dispatch per
+            # augmentation slot instead of a per-record batch-1 graph (a
+            # second multi-minute remote compile and len(pending) round
+            # trips through this sandbox's relay)
+            zaugs = []
+            if encoder is not None and args.augmentations > 0:
+                for ai in range(args.augmentations):
+                    augs = []
+                    for bi in range(len(pending)):
+                        aug = pitch_stretch_augment(pending[bi], args.sr,
+                                                    rng)
+                        aug = np.pad(aug[:args.num_signal],
+                                     (0, max(0, args.num_signal - len(aug))))
+                        augs.append(aug.astype(np.float32))
+                    # pad the ragged tail batch up to the compiled batch
+                    # size with zeros (rows past len(pending) are dropped)
+                    while len(augs) < len(batch):
+                        augs.append(np.zeros(args.num_signal, np.float32))
+                    zaugs.append(encoder(np.stack(augs)))
             for bi in range(len(pending)):
                 ae = AudioExample()
                 if zs is not None:
@@ -201,15 +221,12 @@ def main(argv=None) -> int:
                     feats = audio_descriptors(pending[bi], args.sr, z_len)
                     for name in descriptor_names:
                         ae.put_array(name, feats[name])
-                if encoder is not None and args.augmentations > 0:
-                    for ai in range(args.augmentations):
-                        aug = pitch_stretch_augment(pending[bi], args.sr, rng)
-                        aug = np.pad(aug[:args.num_signal],
-                                     (0, max(0, args.num_signal - len(aug))))
-                        za = encoder(aug[None])[0]
-                        ae.put_array(f"z_aug_{ai}", za.astype(np.float32))
+                for ai, za_batch in enumerate(zaugs):
+                    ae.put_array(f"z_aug_{ai}",
+                                 np.asarray(za_batch[bi], np.float32))
                 writer.put(f"{idx:08d}", ae.serialize())
                 idx += 1
+            print(f"[prepare_dataset] wrote {idx} examples", flush=True)
             pending, pending_meta = [], []
 
         for fi, (af, mf, meta) in enumerate(
