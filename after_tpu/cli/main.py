@@ -29,6 +29,15 @@ def main(argv=None):
     if not argv or argv[0] not in AVAILABLE:
         print("usage: after-tpu {" + ",".join(AVAILABLE) + "} [args...]")
         return 1
+    # AFTER_PLATFORM=cpu routes a subcommand off the accelerator (e.g.
+    # dataset preparation on a host that must not claim the TPU session);
+    # set before any backend initializes — plain JAX_PLATFORMS env can be
+    # overridden by site-level platform pins, jax.config wins
+    import os
+    plat = os.environ.get("AFTER_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     cmd, rest = argv[0], argv[1:]
     if cmd == "prepare_dataset":
         from . import prepare_dataset

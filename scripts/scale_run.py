@@ -222,10 +222,15 @@ def main():
             keys=("mrstft", "total_loss", "feature_matching", "val_mrstft"))
 
     if args.skip_to <= 4:
+        # encode latents on the host CPU: ~36 batches of codec encode do
+        # not need the chip, and a CPU run never contends for the TPU
+        # session claim (a freshly released/killed claim can block the
+        # next TPU process for many minutes in this sandbox)
         dt = run_stage("prepare_latents", [
             "prepare_dataset", "--input_path", corpus, "--output_path", db,
             "--emb_model_path", os.path.join(runs, "scale_codec"),
-            "--augmentations", "2"], work)
+            "--augmentations", "2"], work,
+            env_extra={"AFTER_PLATFORM": "cpu"})
         record("prepare_latents", dt)
 
     dif_common = [
