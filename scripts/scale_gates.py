@@ -16,9 +16,14 @@ reference's human-in-the-loop TensorBoard validation
   G3 diffusion_learn  last val_diffusion_loss below the first
   G4 restart_resumed  diffusion metrics continue across the forced restart
                       step with no gap and no step repeats
-  G5 timbre_transfer  ECAPA timbre embedding of a transferred held-out
-                      sample is closer (cosine) to the TARGET timbre than
-                      to the source's
+  G5 timbre_transfer  controlled transfer panel: held-out instruments from
+                      every synth family at ONE fixed register (corpus
+                      files confound timbre with per-file octave shifts,
+                      and a correct transfer preserves the source
+                      register), all ordered cross-kind pairs; pass =
+                      majority of pairs land closer (ECAPA cosine) to the
+                      target instrument than the source AND the mean
+                      margin is positive
   G6 playback_finite  stage-8 exported playback produced finite audio
 
 Usage: python scripts/scale_gates.py [--work /tmp/after_scale]
@@ -117,7 +122,6 @@ def main():
     import numpy as np
 
     from after_tpu.config import from_json, load_codec_config, with_overrides
-    from after_tpu.dataset.audio import load_wav
     from after_tpu.diffusion import TransferPipeline
     from after_tpu.utils.checkpoint import restore_checkpoint
 
@@ -134,45 +138,59 @@ def main():
     variables = {"codec": codec_vars, "diffusion": diff_vars}
     pipe = TransferPipeline(cfg)
 
-    # held-out corpus pair with different synth kinds (corpus kind = i % 4:
-    # FM / plucked / saw pad / breath) — the last two files are never seen
-    # with these indices in training crops' timbre pairing
-    corpus = os.path.join(work, "corpus")
+    # controlled panel: held-out instruments (seed 12345 — the corpus used
+    # seed 7) from the same four synth families, all at ONE register so
+    # timbre is the only factor separating their embeddings; a correct
+    # transfer preserves the source melody/register, so register-confounded
+    # pairs penalize correct behavior
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_run import synth_tone
     n = 4 * cfg.autoencoder.ratio * 32  # 128 latent frames ~ 6 s
-    def load(i):
-        x, sr = load_wav(os.path.join(corpus, f"tone_{i:03d}.wav"))
-        assert sr == SR
-        x = np.asarray(x, np.float32)[:n]
-        return jnp.asarray(x)[None, :, None]
-
-    src, tgt = load(94), load(95)   # kinds 2 (saw pad) and 3 (breath)
-    out = pipe.transfer(variables, src, tgt, args.nb_steps,
-                        guidance_timbre=args.guidance_timbre,
-                        rng=jax.random.PRNGKey(0))
+    panel_rng = np.random.RandomState(12345)
+    insts = {(k, r): jnp.asarray(synth_tone(k, panel_rng, n, register=2.0)
+                                 )[None, :, None]
+             for k in range(4) for r in range(2)}
 
     def timbre_of(audio):
         z = pipe.encode(variables, audio)
         return np.asarray(pipe.timbre(variables, z))[0]
 
-    zt_src, zt_tgt = timbre_of(src), timbre_of(tgt)
-    zt_out = timbre_of(jnp.asarray(np.asarray(out)))
-
     def cos(a, b):
         return float(np.dot(a, b)
                      / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
 
-    c_tgt, c_src = cos(zt_out, zt_tgt), cos(zt_out, zt_src)
-    finite = bool(np.isfinite(np.asarray(out)).all())
-    gates["timbre_transfer"] = {
-        "cos_to_target": c_tgt, "cos_to_source": c_src,
-        "output_finite": finite, "pass": bool(finite and c_tgt > c_src)}
-
-    # save the audible evidence next to the summary
+    embs = {key: timbre_of(a) for key, a in insts.items()}
+    pairs, finite = [], True
     from after_tpu.dataset.audio import save_wav
-    for name, a in (("gate_source", src), ("gate_target", tgt),
-                    ("gate_transfer", out)):
-        save_wav(os.path.join(work, f"{name}.wav"),
-                 np.clip(np.asarray(a)[0, :, 0], -1, 1), SR)
+    for ks in range(4):
+        for kt in range(4):
+            if ks == kt:
+                continue
+            src, tgt = insts[(ks, 0)], insts[(kt, 1)]
+            out = pipe.transfer(variables, src, tgt, args.nb_steps,
+                                guidance_timbre=args.guidance_timbre,
+                                rng=jax.random.PRNGKey(0))
+            e = timbre_of(jnp.asarray(np.asarray(out)))
+            c_tgt, c_src = cos(e, embs[(kt, 1)]), cos(e, embs[(ks, 0)])
+            finite &= bool(np.isfinite(np.asarray(out)).all())
+            pairs.append({"src_kind": ks, "tgt_kind": kt,
+                          "cos_to_target": round(c_tgt, 4),
+                          "cos_to_source": round(c_src, 4),
+                          "pass": bool(c_tgt > c_src)})
+            if (ks, kt) == (2, 3):  # audible evidence for one pair
+                for name, a in (("gate_source", src), ("gate_target", tgt),
+                                ("gate_transfer", out)):
+                    save_wav(os.path.join(work, f"{name}.wav"),
+                             np.clip(np.asarray(a)[0, :, 0], -1, 1), SR)
+    n_pass = sum(p["pass"] for p in pairs)
+    margins = [p["cos_to_target"] - p["cos_to_source"] for p in pairs]
+    gates["timbre_transfer"] = {
+        "pairs": pairs, "n_pass": n_pass, "n_pairs": len(pairs),
+        "mean_margin": float(np.mean(margins)),
+        "guidance_timbre": args.guidance_timbre,
+        "output_finite": finite,
+        "pass": bool(finite and n_pass > len(pairs) // 2
+                     and np.mean(margins) > 0)}
 
     # ---- G6: stage-8 playback -----------------------------------------
     sp = summary.get("stages", {}).get("stream_playback", {})

@@ -44,6 +44,60 @@ def log(m):
 # corpus synthesis (numpy only; melodic + timbral variety)
 # ---------------------------------------------------------------------------
 
+def synth_tone(kind, rng, n, register=None):
+    """One synthetic instrument playing a random melody, (n,) float32.
+
+    Every kind draws per-file timbre parameters so the corpus spans a
+    continuous timbre manifold (within-kind instruments genuinely differ);
+    a degenerate 4-archetype corpus lets structure codes leak timbre
+    undetected.  `register=None` draws a random octave; a fixed value
+    removes the register confound for controlled transfer evaluation.
+    """
+    import numpy as np
+    t = np.arange(n) / SR
+    scale = 110.0 * 2 ** (np.array([0, 2, 3, 5, 7, 8, 10, 12]) / 12.0)
+    reg = 2.0 ** rng.randint(0, 3) if register is None else register
+    n_notes = rng.randint(6, 16)
+    notes = rng.choice(scale, n_notes) * reg
+    seg = n // n_notes
+    f0 = np.repeat(notes, seg)[:n]
+    f0 = np.pad(f0, (0, n - len(f0)), mode="edge")
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+
+    def envelope(n_env):
+        s = n // n_env
+        e = np.concatenate([np.exp(-4.0 * np.arange(s) / s)] * n_env)
+        return np.pad(e[:n], (0, max(0, n - len(e))), mode="edge")
+
+    if kind == 0:      # FM voice: carrier/mod ratio + index
+        ratio = rng.choice([0.5, 1.0, 2.0, 3.0])
+        index = rng.uniform(0.5, 4.0)
+        x = np.sin(phase + index * np.sin(ratio * phase))
+    elif kind == 1:    # plucked harmonics: count, tilt, decay
+        nh = rng.randint(4, 9)
+        tilt = rng.uniform(0.5, 1.8)
+        x = sum(np.sin((k + 1) * phase) / (k + 1) ** tilt
+                for k in range(nh)) * envelope(rng.randint(8, 24))
+    else:
+        if kind == 2:  # detuned pad: detune width, partial count, tilt
+            det = rng.uniform(0.002, 0.012)
+            nh = rng.randint(2, 6)
+            tilt = rng.uniform(0.8, 2.0)
+            x = sum(sum(np.sin((k + 1) * phase * d) / (k + 1) ** tilt
+                        for d in (1 - det, 1.0, 1 + det))
+                    for k in range(nh))
+        else:          # breath: noise ratio, bandwidth, brightness
+            bw = rng.choice([8, 16, 32, 64])
+            mix = rng.uniform(0.25, 0.6)
+            band = np.convolve(rng.randn(n), np.ones(bw) / bw, "same")
+            h2 = rng.uniform(0.0, 0.5)
+            x = ((1 - mix) * (np.sin(phase) + h2 * np.sin(2 * phase))
+                 + mix * band * envelope(8) * 3.0)
+    x = np.tanh(1.5 * x / np.max(np.abs(x) + 1e-9))
+    tremolo = 1.0 + 0.1 * np.sin(2 * np.pi * rng.uniform(0.5, 6.0) * t)
+    return (0.8 * x * tremolo).astype(np.float32)
+
+
 def synth_corpus(out_dir, n_files, rng):
     import numpy as np
     sys.path.insert(0, REPO)
@@ -51,41 +105,9 @@ def synth_corpus(out_dir, n_files, rng):
 
     os.makedirs(out_dir, exist_ok=True)
     n = int(NUM_SIGNAL * 1.05)
-    t = np.arange(n) / SR
-    scale = 110.0 * 2 ** (np.array([0, 2, 3, 5, 7, 8, 10, 12]) / 12.0)
-
-    def melody_f0(n_notes):
-        notes = rng.choice(scale, n_notes) * 2 ** rng.randint(0, 3)
-        seg = n // n_notes
-        f0 = np.repeat(notes, seg)[:n]
-        return np.pad(f0, (0, n - len(f0)), mode="edge")
-
-    def envelope(n_notes):
-        seg = n // n_notes
-        e = np.concatenate([np.exp(-4.0 * np.arange(seg) / seg)] * n_notes)
-        return np.pad(e[:n], (0, max(0, n - len(e))), mode="edge")
-
     for i in range(n_files):
-        kind = i % 4
-        f0 = melody_f0(rng.randint(6, 16))
-        phase = 2 * np.pi * np.cumsum(f0) / SR
-        if kind == 0:      # FM voice
-            ratio = rng.choice([0.5, 1.0, 2.0, 3.0])
-            index = rng.uniform(0.5, 4.0)
-            x = np.sin(phase + index * np.sin(ratio * phase))
-        elif kind == 1:    # plucked harmonics
-            x = sum(np.sin((k + 1) * phase) / (k + 1) ** rng.uniform(0.5, 1.5)
-                    for k in range(6)) * envelope(rng.randint(8, 24))
-        elif kind == 2:    # detuned saw pad
-            x = sum(np.sin(phase * d) for d in (0.995, 1.0, 1.005))
-            x += 0.3 * np.sin(2 * phase)
-        else:              # noisy breath + tone
-            band = np.convolve(rng.randn(n), np.ones(32) / 32, "same")
-            x = 0.6 * np.sin(phase) + 0.4 * band * envelope(8)
-        x = np.tanh(1.5 * x / np.max(np.abs(x) + 1e-9))
-        tremolo = 1.0 + 0.1 * np.sin(2 * np.pi * rng.uniform(0.5, 6.0) * t)
         save_wav(os.path.join(out_dir, f"tone_{i:03d}.wav"),
-                 (x * tremolo * 0.8).astype(np.float32), SR)
+                 synth_tone(i % 4, rng, n), SR)
     log(f"corpus: {n_files} files x {n / SR:.1f}s -> {out_dir}")
 
 
@@ -187,7 +209,7 @@ def main():
     ae_steps = 3000 // div
     ae_warm = 1500 // div
     dif_mid = 15000 // div
-    dif_end = 30000 // div
+    dif_end = 45000 // div
 
     def record(name, dt):
         summary["stages"][name] = {"minutes": round(dt / 60, 2)}
@@ -240,6 +262,14 @@ def main():
         "--batch_size", "64", "--rng_impl", "rbg",
         "--compute_dtype", "bfloat16", "--augmentation_keys", "all",
         "--override", f"train.timbre_warmup={6000 // div}",
+        # scale the WHOLE adversarial schedule to this run's budget: the
+        # reference's base.gin values (adversarial_warmup=60000,
+        # stop_training_encoder_step=PHASE_1_STEP) target a 1M-step run —
+        # kept unscaled, the anti-leak classifier pressure never reaches
+        # full weight and the timbre encoder never freezes, and structure
+        # codes leak timbre (measured: transfer output cos_to_source 0.95+)
+        "--override", f"train.adversarial_warmup={3000 // div}",
+        "--override", f"train.stop_training_encoder_step={6000 // div}",
         "--override", f"train.cycle_start_step={10000 // div}",
         "--override", f"train.steps_valid={2500 // div}",
         "--override", f"train.steps_save={7500 // div}",
