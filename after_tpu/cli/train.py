@@ -318,8 +318,11 @@ def main(argv=None) -> int:
         if (val_batches and st.step % cfg.train.steps_valid == 0
                 and st.step > 0):
             vloss = validate(trainer, st, val_batches)
-            logger.log(st.step, {"val_diffusion_loss": vloss})
-            print(f"[train] step {st.step} val loss {vloss:.4f}")
+            vmargin = val_transfer_margin(trainer, st, val_batches)
+            logger.log(st.step, {"val_diffusion_loss": vloss,
+                                 "val_transfer_margin": vmargin})
+            print(f"[train] step {st.step} val loss {vloss:.4f} "
+                  f"transfer_margin {vmargin:+.4f}")
             if codec_decode is not None:
                 sample_validation_audio(trainer, st, val_batches,
                                         codec_decode, logger, cfg)
@@ -368,6 +371,39 @@ def validate(trainer, state, val_batches) -> float:
             tcond, cond, training=False)
         losses.append(float(loss))
     return float(np.mean(losses))
+
+
+def val_transfer_margin(trainer, state, val_batches,
+                        nb_steps: int = 20) -> float:
+    """Objective transfer-proximity metric on the fixed validation batch:
+    sample a transfer with every row's timbre target rolled by one, re-embed
+    the output with the model's own timbre encoder, and report
+    mean[cos(out, target) - cos(out, source)].  Positive = transfers move
+    toward the requested timbre; logged as `val_transfer_margin` every
+    steps_valid so conditioning regressions surface mid-run instead of at
+    the post-hoc quality gate (the reference validates this by human
+    listening over TB samples, model.py:458-561 — here it is a number)."""
+    import jax
+    import jax.numpy as jnp
+    b = val_batches[0]
+    x = jnp.asarray(b["x"])
+    (cond, _, _), _ = trainer.rf.encode_timbre(state.variables,
+                                               jnp.asarray(b["x_cond"]))
+    (tcond, _, _), _ = trainer.rf.encode_structure(
+        state.variables, jnp.asarray(b["x_time_cond"]))
+    tgt = jnp.roll(cond, -1, axis=0)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), x.shape)
+    x_tr = trainer.rf.sample({"params": state.ema_params}, x0, tgt, tcond,
+                             nb_steps)
+    (e_out, _, _), _ = trainer.rf.encode_timbre(state.variables, x_tr)
+
+    def cosm(a, bv):
+        num = jnp.sum(a * bv, axis=1)
+        den = (jnp.linalg.norm(a, axis=1)
+               * jnp.linalg.norm(bv, axis=1) + 1e-9)
+        return num / den
+
+    return float(jnp.mean(cosm(e_out, tgt) - cosm(e_out, cond)))
 
 
 def make_codec_decode(ckpt_dir: str):

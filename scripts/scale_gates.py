@@ -106,10 +106,11 @@ def main():
     steps = [r["step"] for r in dif_rows if "diffusion_loss" in r]
     restart_step = summary.get("restart_step")
     monotonic = all(b > a for a, b in zip(steps, steps[1:]))
+    # the gate must be able to fail (VERDICT r4 weak #3): a scale run always
+    # performs a forced restart (scale_run.py stage 6), so a summary without
+    # restart_step, or metrics that don't span it, FAIL — no auto-pass
     spans = bool(steps) and restart_step is not None and \
         steps[0] < restart_step < steps[-1]
-    if restart_step is None:  # summary predates the field: infer from spans
-        spans = True
     gates["restart_resumed"] = {
         "monotonic_steps": monotonic, "restart_step": restart_step,
         "first_step": steps[0] if steps else None,
@@ -160,7 +161,7 @@ def main():
                      / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
 
     embs = {key: timbre_of(a) for key, a in insts.items()}
-    pairs, finite = [], True
+    pairs, margins, finite = [], [], True
     from after_tpu.dataset.audio import save_wav
     for ks in range(4):
         for kt in range(4):
@@ -173,6 +174,9 @@ def main():
             e = timbre_of(jnp.asarray(np.asarray(out)))
             c_tgt, c_src = cos(e, embs[(kt, 1)]), cos(e, embs[(ks, 0)])
             finite &= bool(np.isfinite(np.asarray(out)).all())
+            # raw margin for the gate decision; rounding is display-only
+            # (ADVICE r4: a near-zero aggregate must not flip on rounding)
+            margins.append(c_tgt - c_src)
             pairs.append({"src_kind": ks, "tgt_kind": kt,
                           "cos_to_target": round(c_tgt, 4),
                           "cos_to_source": round(c_src, 4),
@@ -183,7 +187,6 @@ def main():
                     save_wav(os.path.join(work, f"{name}.wav"),
                              np.clip(np.asarray(a)[0, :, 0], -1, 1), SR)
     n_pass = sum(p["pass"] for p in pairs)
-    margins = [p["cos_to_target"] - p["cos_to_source"] for p in pairs]
     gates["timbre_transfer"] = {
         "pairs": pairs, "n_pass": n_pass, "n_pairs": len(pairs),
         "mean_margin": float(np.mean(margins)),
@@ -202,6 +205,8 @@ def main():
     summary["gates"] = gates
     with open(spath, "w") as f:
         json.dump(summary, f, indent=1)
+    from scale_run import copy_evidence
+    copy_evidence(work)
     ok = all(g["pass"] for g in gates.values())
     print(json.dumps(gates, indent=1))
     print("GATES:", "ALL PASS" if ok else "FAILURES")

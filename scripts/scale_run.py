@@ -111,6 +111,27 @@ def synth_corpus(out_dir, n_files, rng):
     log(f"corpus: {n_files} files x {n / SR:.1f}s -> {out_dir}")
 
 
+def copy_evidence(work, dest=None):
+    """Copy the committed-able evidence (summary, gate wavs, run metrics,
+    run configs) from WORK into the repo's runs/scale/ so a fresh run leaves
+    durable artifacts without manual steps — /tmp is wiped between rounds
+    and round 4's real results were nearly lost to that."""
+    import shutil
+    dest = dest or os.path.join(REPO, "runs", "scale")
+    os.makedirs(dest, exist_ok=True)
+    for it in ("scale_run_summary.json", "gate_source.wav",
+               "gate_target.wav", "gate_transfer.wav"):
+        p = os.path.join(work, it)
+        if os.path.exists(p):
+            shutil.copy2(p, dest)
+    for run, tag in (("scale_codec", "codec"), ("scale_dif", "dif")):
+        for f in ("metrics.jsonl", "config.json"):
+            p = os.path.join(work, "runs", run, f)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(dest, f"{tag}_{f}"))
+    log(f"evidence copied to {dest}")
+
+
 # ---------------------------------------------------------------------------
 # stage runner
 # ---------------------------------------------------------------------------
@@ -335,6 +356,7 @@ def main():
 
     with open(os.path.join(work, "scale_run_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
+    copy_evidence(work)
     log("DONE " + json.dumps(summary))
 
 
