@@ -44,7 +44,17 @@ def log(m):
 # corpus synthesis (numpy only; melodic + timbral variety)
 # ---------------------------------------------------------------------------
 
-def synth_tone(kind, rng, n, register=None):
+def draw_melody(rng, register=None):
+    """The melody draws of synth_tone, exposed so a control harness can
+    capture an instrument's tune and hand it to another instrument."""
+    import numpy as np
+    scale = 110.0 * 2 ** (np.array([0, 2, 3, 5, 7, 8, 10, 12]) / 12.0)
+    reg = 2.0 ** rng.randint(0, 3) if register is None else register
+    n_notes = rng.randint(6, 16)
+    return rng.choice(scale, n_notes) * reg
+
+
+def synth_tone(kind, rng, n, register=None, melody=None):
     """One synthetic instrument playing a random melody, (n,) float32.
 
     Every kind draws per-file timbre parameters so the corpus spans a
@@ -52,13 +62,20 @@ def synth_tone(kind, rng, n, register=None):
     a degenerate 4-archetype corpus lets structure codes leak timbre
     undetected.  `register=None` draws a random octave; a fixed value
     removes the register confound for controlled transfer evaluation.
+
+    `melody` (a note-frequency array) replaces the random melody while
+    leaving the rng stream — and therefore the instrument's timbre
+    parameters — untouched: the same rng seed renders the SAME instrument
+    playing a different tune.  That synthesizes exact ground-truth
+    transfers (source melody, target timbre) for validating the transfer
+    gate's metric (scripts/gate_control.py).
     """
     import numpy as np
     t = np.arange(n) / SR
-    scale = 110.0 * 2 ** (np.array([0, 2, 3, 5, 7, 8, 10, 12]) / 12.0)
-    reg = 2.0 ** rng.randint(0, 3) if register is None else register
-    n_notes = rng.randint(6, 16)
-    notes = rng.choice(scale, n_notes) * reg
+    notes = draw_melody(rng, register)
+    if melody is not None:  # draws above still consumed: timbre stays pinned
+        notes = np.asarray(melody, np.float64)
+    n_notes = len(notes)
     seg = n // n_notes
     f0 = np.repeat(notes, seg)[:n]
     f0 = np.pad(f0, (0, n - len(f0)), mode="edge")
@@ -119,8 +136,8 @@ def copy_evidence(work, dest=None):
     import shutil
     dest = dest or os.path.join(REPO, "runs", "scale")
     os.makedirs(dest, exist_ok=True)
-    for it in ("scale_run_summary.json", "gate_source.wav",
-               "gate_target.wav", "gate_transfer.wav"):
+    for it in ("scale_run_summary.json", "gate_control.json",
+               "gate_source.wav", "gate_target.wav", "gate_transfer.wav"):
         p = os.path.join(work, it)
         if os.path.exists(p):
             shutil.copy2(p, dest)
