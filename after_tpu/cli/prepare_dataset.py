@@ -163,13 +163,20 @@ def main(argv=None) -> int:
             nonlocal idx, pending, pending_meta
             if not pending:
                 return
+            # pad the ragged tail flush up to --batch_size with zero rows so
+            # every encode reuses the one compiled batch_size-shaped graph
+            # (a tail-shaped batch would force a second multi-minute remote
+            # compile through this sandbox's relay); rows past len(pending)
+            # are dropped below
             batch = np.stack(pending)
+            if encoder is not None and len(pending) < args.batch_size:
+                batch = np.concatenate(
+                    [batch, np.zeros((args.batch_size - len(pending),)
+                                     + batch.shape[1:], np.float32)])
             zs = encoder(batch) if encoder is not None else None
             # encode PSTS augmentations at the SAME batched shape as the
             # originals: one reused compiled graph + one relay dispatch per
-            # augmentation slot instead of a per-record batch-1 graph (a
-            # second multi-minute remote compile and len(pending) round
-            # trips through this sandbox's relay)
+            # augmentation slot instead of a per-record batch-1 graph
             zaugs = []
             if encoder is not None and args.augmentations > 0:
                 for ai in range(args.augmentations):
@@ -180,8 +187,6 @@ def main(argv=None) -> int:
                         aug = np.pad(aug[:args.num_signal],
                                      (0, max(0, args.num_signal - len(aug))))
                         augs.append(aug.astype(np.float32))
-                    # pad the ragged tail batch up to the compiled batch
-                    # size with zeros (rows past len(pending) are dropped)
                     while len(augs) < len(batch):
                         augs.append(np.zeros(args.num_signal, np.float32))
                     zaugs.append(encoder(np.stack(augs)))

@@ -93,6 +93,11 @@ def main():
     L.append(f"- `adversarial_loss` (phase 2): "
              f"{fmt_curve(curve(dif, 'adversarial_loss'))}")
     L.append(f"- `cycle_cond` (after 10k): {fmt_curve(curve(dif, 'cycle_cond'))}")
+    vtm = curve(dif, "val_transfer_margin")
+    if vtm:
+        L.append(f"- `val_transfer_margin` (cos-to-target minus "
+                 f"cos-to-source on val transfers; positive = transfers "
+                 f"move toward the requested timbre): {fmt_curve(vtm)}")
     sk = curve(dif, "skipped_nonfinite")
     L.append(f"- non-finite update skips: {max((v for _, v in sk), default=0):.0f}")
     L.append("")
@@ -108,6 +113,55 @@ def main():
     L.append("")
     L.append("Transfer WAVs (source / target / output) are written next to "
              "the summary in the work dir.\n")
+
+    ctrl_path = os.path.join(w, "gate_control.json")
+    if os.path.exists(ctrl_path):
+        with open(ctrl_path) as f:
+            ctrl = json.load(f)
+        L.append("## Transfer-gate metric control (`scripts/gate_control.py`)\n")
+        L.append("The G5 metric validated against synthesized ground truth "
+                 "(the corpus generator decouples melody from timbre, so "
+                 "the ideal transfer output — target instrument playing the "
+                 "source melody — is rendered exactly):\n")
+        L.append("| control | expectation | n_pass | mean_margin | ok |")
+        L.append("|---|---|---|---|---|")
+        for key in ("positive_control", "negative_control"):
+            c = ctrl.get(key, {})
+            L.append(f"| {key} (output = "
+                     f"{'ground-truth transfer' if key.startswith('pos') else 'source audio unchanged'})"
+                     f" | {c.get('expect')} | {c.get('n_pass')}/"
+                     f"{c.get('n_pairs')} | {c.get('mean_margin', 0):+.3f} |"
+                     f" {'yes' if c.get('ok') else 'NO'} |")
+        L.append("")
+        L.append(f"Metric verdict: "
+                 f"{'**VALID** — a model failing G5 is a training defect, not a measurement artifact.' if ctrl.get('metric_valid') else '**INVALID** — G5 results cannot be trusted until the metric is fixed.'}\n")
+
+    L.append("## Failure history (honest record)\n")
+    L.append("- **Round 4, G5 FAILED twice.** The first full run (30k "
+             "steps) and its 90k extension both produced transfers whose "
+             "ECAPA embedding stayed closer to the SOURCE than the target "
+             "(30k: cos_to_target -0.38 vs cos_to_source 0.17; 90k: -0.18 "
+             "vs 0.43; controlled panel at 90k: 8/24 pairs, mean margin "
+             "-0.08). Committed logs: `runs/scale/gates_30k.log`, "
+             "`gates_90k.log`, `gate_panel_90k.log`.")
+    L.append("- **Root cause:** the anti-leak schedule overrides "
+             "(`train.adversarial_warmup=3000`, "
+             "`train.stop_training_encoder_step=6000`) were written into "
+             "`scale_run.py` but the run pre-dated them — the committed "
+             "run config (`runs/scale/dif_config.json`) shows the "
+             "reference's 1M-step constants (adversarial ramp over 60k "
+             "steps, timbre encoder never frozen), so the adversarial "
+             "classifier pressure stayed near zero while the structure "
+             "encoder learned, and structure codes leaked timbre (output "
+             "cos_to_source 0.93-0.99 from three of four source families).")
+    L.append("- **Resolution:** round 5 re-trained stages 5-8 with the "
+             "corrected schedule actually applied (verified in the run's "
+             "config.json), added the `val_transfer_margin` validation "
+             "metric so conditioning regressions surface mid-run, and "
+             "validated the gate metric itself against synthesized ground "
+             "truth (section above). The gate table in this document is "
+             "from the corrected run.")
+    L.append("")
 
     if edm:
         L.append("## EDM vs rectified flow (same corpus, same 15k budget — "
