@@ -33,15 +33,23 @@ def train_edm(work, steps, log_dir):
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, ".jax_cache"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # SAME recipe as scale_run.py's rectified-flow stages (incl. the
+    # corrected anti-leak schedule: fast adversarial ramp + timbre encoder
+    # frozen at the end of phase 1) with only --model edm differing, so the
+    # comparison isolates the diffusion objective
     argv = [
         "train", "--name", "scale_edm", "--db_path",
         os.path.join(work, "db"), "--emb_model_path",
         os.path.join(work, "runs", "scale_codec"), "--out_path",
-        os.path.join(work, "runs"), "--config", "base", "--model", "edm",
+        os.path.join(work, "runs"), "--config", "base", "--config", "cycle",
+        "--model", "edm",
         "--batch_size", "64", "--rng_impl", "rbg",
         "--compute_dtype", "bfloat16", "--augmentation_keys", "all",
         "--data_on_device",
-        "--override", f"train.timbre_warmup={steps * 2 // 5}",
+        "--override", "train.timbre_warmup=6000",
+        "--override", "train.adversarial_warmup=3000",
+        "--override", "train.stop_training_encoder_step=6000",
+        "--override", "train.cycle_start_step=10000",
         "--override", f"train.steps_valid={steps // 6}",
         "--override", f"train.steps_save={steps // 2}",
         "--max_steps", str(steps),
@@ -60,57 +68,16 @@ def train_edm(work, steps, log_dir):
 
 
 def evaluate(work, run_name, step, nb_steps, guidance_timbre):
-    """G5-style timbre-transfer gate for one diffusion run."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    """The G5 controlled transfer panel for one diffusion run (shared with
+    scale_gates so the two harnesses can never judge by different rules)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_gates import load_pipeline, transfer_panel
 
-    from after_tpu.config import from_json, load_codec_config, with_overrides
-    from after_tpu.dataset.audio import load_wav, save_wav
-    from after_tpu.diffusion import TransferPipeline
-    from after_tpu.utils.checkpoint import restore_checkpoint
-
-    codec_dir = os.path.join(work, "runs", "scale_codec")
-    run_dir = os.path.join(work, "runs", run_name)
-    with open(os.path.join(run_dir, "config.json")) as f:
-        cfg = from_json(f.read())
-    cfg = with_overrides(cfg, {"autoencoder": load_codec_config(codec_dir)})
-    restored = restore_checkpoint(run_dir, step)
-    diff_vars = dict(restored["variables"])
-    if "ema_params" in restored:
-        diff_vars["net"] = {**diff_vars["net"],
-                            "params": restored["ema_params"]}
-    variables = {"codec": restore_checkpoint(codec_dir)["codec_vars"],
-                 "diffusion": diff_vars}
-    pipe = TransferPipeline(cfg)
-
-    n = 4 * cfg.autoencoder.ratio * 32
-
-    def load(i):
-        x, sr = load_wav(os.path.join(work, "corpus", f"tone_{i:03d}.wav"))
-        return jnp.asarray(np.asarray(x, np.float32)[:n])[None, :, None]
-
-    src, tgt = load(94), load(95)
-    out = pipe.transfer(variables, src, tgt, nb_steps,
-                        guidance_timbre=guidance_timbre,
-                        rng=jax.random.PRNGKey(0))
-
-    def timbre_of(audio):
-        return np.asarray(pipe.timbre(
-            variables, pipe.encode(variables, audio)))[0]
-
-    zt_s, zt_t = timbre_of(src), timbre_of(tgt)
-    zt_o = timbre_of(jnp.asarray(np.asarray(out)))
-
-    def cos(a, b):
-        return float(np.dot(a, b)
-                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
-
-    save_wav(os.path.join(work, f"{run_name}_transfer.wav"),
-             np.clip(np.asarray(out)[0, :, 0], -1, 1), SR)
+    pipe, variables, cfg = load_pipeline(work, run_name, step)
+    panel = transfer_panel(pipe, variables, cfg, nb_steps, guidance_timbre)
 
     rows = []
-    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+    with open(os.path.join(work, "runs", run_name, "metrics.jsonl")) as f:
         for line in f:
             try:
                 rows.append(json.loads(line))
@@ -118,15 +85,24 @@ def evaluate(work, run_name, step, nb_steps, guidance_timbre):
                 pass
     val = [(r["step"], r["val_diffusion_loss"]) for r in rows
            if "val_diffusion_loss" in r]
+    vtm = [(r["step"], r["val_transfer_margin"]) for r in rows
+           if "val_transfer_margin" in r]
     return {
-        "step": int(restored.get("step", step or -1)),
-        "cos_to_target": cos(zt_o, zt_t),
-        "cos_to_source": cos(zt_o, zt_s),
-        "output_finite": bool(np.isfinite(np.asarray(out)).all()),
+        "step": step,
+        "n_pass": panel["n_pass"], "n_pairs": panel["n_pairs"],
+        "mean_margin": panel["mean_margin"],
+        # aggregate cosines kept for the report table
+        "cos_to_target": float(sum(p["cos_to_target"]
+                                   for p in panel["pairs"])
+                               / panel["n_pairs"]),
+        "cos_to_source": float(sum(p["cos_to_source"]
+                                   for p in panel["pairs"])
+                               / panel["n_pairs"]),
+        "output_finite": panel["output_finite"],
         "val_diffusion_loss_first": val[0] if val else None,
         "val_diffusion_loss_last": val[-1] if val else None,
-        "transfer_pass": bool(np.isfinite(np.asarray(out)).all()
-                              and cos(zt_o, zt_t) > cos(zt_o, zt_s)),
+        "val_transfer_margin_last": vtm[-1] if vtm else None,
+        "transfer_pass": panel["pass"],
     }
 
 

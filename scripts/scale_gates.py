@@ -41,6 +41,94 @@ sys.path.insert(0, REPO)
 SR = 44100
 
 
+def load_pipeline(work, run_name="scale_dif", step=None):
+    """Restore a diffusion run + the scale codec into a TransferPipeline,
+    applying EMA params like the reference's export path does."""
+    from after_tpu.config import from_json, load_codec_config, with_overrides
+    from after_tpu.diffusion import TransferPipeline
+    from after_tpu.utils.checkpoint import restore_checkpoint
+
+    codec_dir = os.path.join(work, "runs", "scale_codec")
+    run_dir = os.path.join(work, "runs", run_name)
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = from_json(f.read())
+    cfg = with_overrides(cfg, {"autoencoder": load_codec_config(codec_dir)})
+    restored = restore_checkpoint(run_dir, step)
+    diff_vars = dict(restored["variables"])
+    if "ema_params" in restored:
+        diff_vars["net"] = {**diff_vars["net"],
+                            "params": restored["ema_params"]}
+    codec_vars = restore_checkpoint(codec_dir)["codec_vars"]
+    variables = {"codec": codec_vars, "diffusion": diff_vars}
+    return TransferPipeline(cfg), variables, cfg
+
+
+def transfer_panel(pipe, variables, cfg, nb_steps, guidance_timbre,
+                   wav_dir=None, rng_seed=0):
+    """The G5 controlled transfer panel, reusable across harnesses
+    (scale_gates G5, edm_compare): held-out instruments from every synth
+    family at ONE fixed register (corpus files confound timbre with
+    per-file octave shifts, and a correct transfer preserves the source
+    register), all ordered cross-kind pairs; pass = majority of pairs land
+    closer (ECAPA cosine) to the target instrument than the source AND the
+    mean raw margin is positive."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_run import synth_tone
+
+    n = 4 * cfg.autoencoder.ratio * 32  # 128 latent frames ~ 6 s
+    panel_rng = np.random.RandomState(12345)
+    insts = {(k, r): jnp.asarray(synth_tone(k, panel_rng, n, register=2.0)
+                                 )[None, :, None]
+             for k in range(4) for r in range(2)}
+
+    def timbre_of(audio):
+        z = pipe.encode(variables, audio)
+        return np.asarray(pipe.timbre(variables, z))[0]
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    embs = {key: timbre_of(a) for key, a in insts.items()}
+    pairs, margins, finite = [], [], True
+    for ks in range(4):
+        for kt in range(4):
+            if ks == kt:
+                continue
+            src, tgt = insts[(ks, 0)], insts[(kt, 1)]
+            out = pipe.transfer(variables, src, tgt, nb_steps,
+                                guidance_timbre=guidance_timbre,
+                                rng=jax.random.PRNGKey(rng_seed))
+            e = timbre_of(jnp.asarray(np.asarray(out)))
+            c_tgt, c_src = cos(e, embs[(kt, 1)]), cos(e, embs[(ks, 0)])
+            finite &= bool(np.isfinite(np.asarray(out)).all())
+            # raw margin for the gate decision; rounding is display-only
+            # (ADVICE r4: a near-zero aggregate must not flip on rounding)
+            margins.append(c_tgt - c_src)
+            pairs.append({"src_kind": ks, "tgt_kind": kt,
+                          "cos_to_target": round(c_tgt, 4),
+                          "cos_to_source": round(c_src, 4),
+                          "pass": bool(c_tgt > c_src)})
+            if wav_dir and (ks, kt) == (2, 3):  # audible evidence, one pair
+                from after_tpu.dataset.audio import save_wav
+                for name, a in (("gate_source", src), ("gate_target", tgt),
+                                ("gate_transfer", out)):
+                    save_wav(os.path.join(wav_dir, f"{name}.wav"),
+                             np.clip(np.asarray(a)[0, :, 0], -1, 1), SR)
+    n_pass = sum(p["pass"] for p in pairs)
+    return {
+        "pairs": pairs, "n_pass": n_pass, "n_pairs": len(pairs),
+        "mean_margin": float(np.mean(margins)),
+        "guidance_timbre": guidance_timbre,
+        "output_finite": finite,
+        "pass": bool(finite and n_pass > len(pairs) // 2
+                     and np.mean(margins) > 0)}
+
+
 def metrics_rows(run_dir):
     rows = []
     path = os.path.join(run_dir, "metrics.jsonl")
@@ -118,82 +206,14 @@ def main():
         "pass": bool(monotonic and spans and steps)}
 
     # ---- G5: timbre transfer gate (runs the model) --------------------
-    import jax
-    import jax.numpy as jnp
+    # controlled panel: held-out instruments (seed 12345 — the corpus used
+    # seed 7) from the same four synth families at one register
     import numpy as np
 
-    from after_tpu.config import from_json, load_codec_config, with_overrides
-    from after_tpu.diffusion import TransferPipeline
-    from after_tpu.utils.checkpoint import restore_checkpoint
-
-    with open(os.path.join(dif_dir, "config.json")) as f:
-        cfg = from_json(f.read())
-    cfg = with_overrides(
-        cfg, {"autoencoder": load_codec_config(codec_dir)})
-    restored = restore_checkpoint(dif_dir)
-    diff_vars = dict(restored["variables"])
-    if "ema_params" in restored:
-        diff_vars["net"] = {**diff_vars["net"],
-                            "params": restored["ema_params"]}
-    codec_vars = restore_checkpoint(codec_dir)["codec_vars"]
-    variables = {"codec": codec_vars, "diffusion": diff_vars}
-    pipe = TransferPipeline(cfg)
-
-    # controlled panel: held-out instruments (seed 12345 — the corpus used
-    # seed 7) from the same four synth families, all at ONE register so
-    # timbre is the only factor separating their embeddings; a correct
-    # transfer preserves the source melody/register, so register-confounded
-    # pairs penalize correct behavior
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from scale_run import synth_tone
-    n = 4 * cfg.autoencoder.ratio * 32  # 128 latent frames ~ 6 s
-    panel_rng = np.random.RandomState(12345)
-    insts = {(k, r): jnp.asarray(synth_tone(k, panel_rng, n, register=2.0)
-                                 )[None, :, None]
-             for k in range(4) for r in range(2)}
-
-    def timbre_of(audio):
-        z = pipe.encode(variables, audio)
-        return np.asarray(pipe.timbre(variables, z))[0]
-
-    def cos(a, b):
-        return float(np.dot(a, b)
-                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
-
-    embs = {key: timbre_of(a) for key, a in insts.items()}
-    pairs, margins, finite = [], [], True
-    from after_tpu.dataset.audio import save_wav
-    for ks in range(4):
-        for kt in range(4):
-            if ks == kt:
-                continue
-            src, tgt = insts[(ks, 0)], insts[(kt, 1)]
-            out = pipe.transfer(variables, src, tgt, args.nb_steps,
-                                guidance_timbre=args.guidance_timbre,
-                                rng=jax.random.PRNGKey(0))
-            e = timbre_of(jnp.asarray(np.asarray(out)))
-            c_tgt, c_src = cos(e, embs[(kt, 1)]), cos(e, embs[(ks, 0)])
-            finite &= bool(np.isfinite(np.asarray(out)).all())
-            # raw margin for the gate decision; rounding is display-only
-            # (ADVICE r4: a near-zero aggregate must not flip on rounding)
-            margins.append(c_tgt - c_src)
-            pairs.append({"src_kind": ks, "tgt_kind": kt,
-                          "cos_to_target": round(c_tgt, 4),
-                          "cos_to_source": round(c_src, 4),
-                          "pass": bool(c_tgt > c_src)})
-            if (ks, kt) == (2, 3):  # audible evidence for one pair
-                for name, a in (("gate_source", src), ("gate_target", tgt),
-                                ("gate_transfer", out)):
-                    save_wav(os.path.join(work, f"{name}.wav"),
-                             np.clip(np.asarray(a)[0, :, 0], -1, 1), SR)
-    n_pass = sum(p["pass"] for p in pairs)
-    gates["timbre_transfer"] = {
-        "pairs": pairs, "n_pass": n_pass, "n_pairs": len(pairs),
-        "mean_margin": float(np.mean(margins)),
-        "guidance_timbre": args.guidance_timbre,
-        "output_finite": finite,
-        "pass": bool(finite and n_pass > len(pairs) // 2
-                     and np.mean(margins) > 0)}
+    pipe, variables, cfg = load_pipeline(work)
+    gates["timbre_transfer"] = transfer_panel(
+        pipe, variables, cfg, args.nb_steps, args.guidance_timbre,
+        wav_dir=work)
 
     # ---- G6: stage-8 playback -----------------------------------------
     sp = summary.get("stages", {}).get("stream_playback", {})
