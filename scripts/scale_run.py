@@ -137,6 +137,7 @@ def copy_evidence(work, dest=None):
     dest = dest or os.path.join(REPO, "runs", "scale")
     os.makedirs(dest, exist_ok=True)
     for it in ("scale_run_summary.json", "gate_control.json",
+               "artifact_soak.json", "edm_compare.json",
                "gate_source.wav", "gate_target.wav", "gate_transfer.wav"):
         p = os.path.join(work, it)
         if os.path.exists(p):
