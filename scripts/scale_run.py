@@ -115,17 +115,31 @@ def synth_tone(kind, rng, n, register=None, melody=None):
     return (0.8 * x * tremolo).astype(np.float32)
 
 
-def synth_corpus(out_dir, n_files, rng):
+def synth_corpus(out_dir, n_files, rng, shared_melodies=True):
+    """With `shared_melodies` (default), each melody in a pool of
+    n_files//4 tunes is rendered by ALL FOUR instrument families, so the
+    note sequence cannot identify the file — and therefore cannot identify
+    its timbre.  Round 4/5 diagnosis: with one unique melody per file the
+    structure codes can pass timbre to the denoiser BY MELODY IDENTITY (a
+    lookup the adversarial classifier then wins against any plausible
+    weight, since removing melody identity from structure would destroy the
+    structure signal itself); real music doesn't pair each tune with
+    exactly one timbre, and neither should the benchmark corpus."""
     import numpy as np
     sys.path.insert(0, REPO)
     from after_tpu.dataset.audio import save_wav
 
     os.makedirs(out_dir, exist_ok=True)
     n = int(NUM_SIGNAL * 1.05)
+    melodies = ([draw_melody(rng) for _ in range(max(n_files // 4, 1))]
+                if shared_melodies else None)
     for i in range(n_files):
+        melody = melodies[i // 4] if melodies else None
         save_wav(os.path.join(out_dir, f"tone_{i:03d}.wav"),
-                 synth_tone(i % 4, rng, n), SR)
-    log(f"corpus: {n_files} files x {n / SR:.1f}s -> {out_dir}")
+                 synth_tone(i % 4, rng, n, melody=melody), SR)
+    log(f"corpus: {n_files} files x {n / SR:.1f}s"
+        + (f" ({len(melodies)} shared melodies x 4 families)"
+           if melodies else "") + f" -> {out_dir}")
 
 
 def copy_evidence(work, dest=None):
