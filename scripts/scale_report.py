@@ -154,13 +154,29 @@ def main():
              "classifier pressure stayed near zero while the structure "
              "encoder learned, and structure codes leaked timbre (output "
              "cos_to_source 0.93-0.99 from three of four source families).")
-    L.append("- **Resolution:** round 5 re-trained stages 5-8 with the "
-             "corrected schedule actually applied (verified in the run's "
-             "config.json), added the `val_transfer_margin` validation "
-             "metric so conditioning regressions surface mid-run, and "
-             "validated the gate metric itself against synthesized ground "
-             "truth (section above). The gate table in this document is "
-             "from the corrected run.")
+    L.append("- **Round 5 run D1, G5 STILL FAILED (3/12 pairs, mean margin "
+             "-0.43).** Stages 5-8 retrained with the corrected schedule "
+             "actually applied (verified in `runs/scale/dif_config_d1.json`:"
+             " adversarial_warmup 3000, encoder frozen at 6000) — so the "
+             "schedule was necessary but not sufficient. Committed log: "
+             "`runs/scale/gates_d1.log`.")
+    L.append("- **Second root cause: a corpus confound.** Every corpus file "
+             "had a unique melody AND a unique timbre, so the note sequence "
+             "alone identified the file — and therefore its timbre. "
+             "Structure codes could 'leak' timbre via melody identity, a "
+             "shortcut no adversarial weight can remove without destroying "
+             "structure (real music does not pair each tune with exactly "
+             "one instrument). Diagnosed from the D1 panel: transfers kept "
+             "source timbre (cos_to_source up to 0.98) despite full "
+             "classifier pressure.")
+    L.append("- **Resolution:** round 5 final run = corrected schedule + "
+             "confound-free corpus (`scale_run.synth_corpus` "
+             "shared_melodies: each melody in a pool of n_files/4 tunes is "
+             "rendered by ALL FOUR instrument families, so melody no "
+             "longer predicts timbre), plus the `val_transfer_margin` "
+             "validation metric so conditioning regressions surface "
+             "mid-run, plus the gate-metric ground-truth control (section "
+             "above). The gate table in this document is from that run.")
     L.append("")
 
     if edm:
