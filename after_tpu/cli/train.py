@@ -318,18 +318,20 @@ def main(argv=None) -> int:
         if (val_batches and st.step % cfg.train.steps_valid == 0
                 and st.step > 0):
             vloss = validate(trainer, st, val_batches)
-            vmargin = val_transfer_margin(trainer, st, val_batches)
-            logger.log(st.step, {"val_diffusion_loss": vloss,
-                                 "val_transfer_margin": vmargin})
+            vm = val_transfer_margin(trainer, st, val_batches,
+                                     codec=codec_coder)
+            logger.log(st.step, {"val_diffusion_loss": vloss, **vm})
             print(f"[train] step {st.step} val loss {vloss:.4f} "
-                  f"transfer_margin {vmargin:+.4f}")
-            if codec_decode is not None:
+                  f"transfer_margin {vm['val_transfer_margin']:+.4f}"
+                  + (f" audio {vm['val_transfer_margin_audio']:+.4f}"
+                     if "val_transfer_margin_audio" in vm else ""))
+            if codec_coder is not None:
                 sample_validation_audio(trainer, st, val_batches,
-                                        codec_decode, logger, cfg)
+                                        codec_coder[0], logger, cfg)
 
-    codec_decode = None
+    codec_coder = None
     if args.emb_model_path:
-        codec_decode = make_codec_decode(args.emb_model_path)
+        codec_coder = make_codec_coder(args.emb_model_path)
 
     if mesh is not None:
         # place params/EMA/optimizer moments on the mesh (TP where the rules
@@ -374,7 +376,8 @@ def validate(trainer, state, val_batches) -> float:
 
 
 def val_transfer_margin(trainer, state, val_batches,
-                        nb_steps: int = 20) -> float:
+                        nb_steps: int = 20, codec=None,
+                        gate_guidance: float = 2.0):
     """Objective transfer-proximity metric on the fixed validation batch:
     sample a transfer with every row's timbre target rolled by one, re-embed
     the output with the model's own timbre encoder, and report
@@ -382,7 +385,15 @@ def val_transfer_margin(trainer, state, val_batches,
     toward the requested timbre; logged as `val_transfer_margin` every
     steps_valid so conditioning regressions surface mid-run instead of at
     the post-hoc quality gate (the reference validates this by human
-    listening over TB samples, model.py:458-561 — here it is a number)."""
+    listening over TB samples, model.py:458-561 — here it is a number).
+
+    With `codec` (a (decode, encode) pair from make_codec_coder) the
+    returned dict also carries `val_transfer_margin_audio`: the same margin
+    measured at the QUALITY GATE's probe point — sample at the gate's
+    guidance, decode to audio, re-encode, re-embed.  Round-5 diagnosis
+    (runs/scale/transfer_diag.json): the latent-space margin can be positive
+    while the decoded audio still wears the source timbre, so a gate-honest
+    training metric must cross the codec round trip."""
     import jax
     import jax.numpy as jnp
     b = val_batches[0]
@@ -403,7 +414,19 @@ def val_transfer_margin(trainer, state, val_batches,
                * jnp.linalg.norm(bv, axis=1) + 1e-9)
         return num / den
 
-    return float(jnp.mean(cosm(e_out, tgt) - cosm(e_out, cond)))
+    out = {"val_transfer_margin":
+           float(jnp.mean(cosm(e_out, tgt) - cosm(e_out, cond)))}
+    if codec is not None:
+        decode, encode = codec
+        n = min(16, x.shape[0])  # bound the decode cost on big val batches
+        x_g = trainer.rf.sample({"params": state.ema_params}, x0[:n],
+                                tgt[:n], tcond[:n], nb_steps,
+                                gate_guidance)
+        z_rt = encode(decode(x_g))
+        (e_aud, _, _), _ = trainer.rf.encode_timbre(state.variables, z_rt)
+        out["val_transfer_margin_audio"] = float(jnp.mean(
+            cosm(e_aud, tgt[:n]) - cosm(e_aud, cond[:n])))
+    return out
 
 
 def make_codec_decode(ckpt_dir: str):
@@ -424,6 +447,29 @@ def make_codec_decode(ckpt_dir: str):
         return codec.apply(codec_vars, z, method=AudioCodec.decode)
 
     return dec
+
+
+def make_codec_coder(ckpt_dir: str):
+    """Jitted codec (decode, encode) pair for the gate-honest audio-probe
+    transfer metric (val_transfer_margin_audio)."""
+    import jax
+    from ..config import load_codec_config
+    from ..models import AudioCodec
+    from ..utils.checkpoint import restore_checkpoint
+
+    tree = restore_checkpoint(ckpt_dir)
+    codec_vars = tree.get("codec_vars", tree)
+    codec = AudioCodec(load_codec_config(ckpt_dir))
+
+    @jax.jit
+    def dec(z):
+        return codec.apply(codec_vars, z, method=AudioCodec.decode)
+
+    @jax.jit
+    def enc(audio):
+        return codec.apply(codec_vars, audio, method=AudioCodec.encode)
+
+    return dec, enc
 
 
 def sample_validation_audio(trainer, state, val_batches, codec_decode, logger,

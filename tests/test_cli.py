@@ -161,6 +161,50 @@ def test_train_cli_model_edm(z_store, tmp_path):
     assert cli_main(base + ["--max_steps", "3", "--restart", "2"]) == 0
 
 
+def test_train_cli_audio_probe_margin_and_quantized_structure(z_store,
+                                                              tmp_path):
+    """With --emb_model_path the validation loop logs BOTH transfer-margin
+    probes — latent-space and the gate-honest audio round trip
+    (val_transfer_margin_audio: sample at gate guidance, codec decode,
+    re-encode, re-embed) — and encoder_time.quantizer_levels trains the FSQ
+    structure bottleneck (the round-5 disentanglement recipe; the
+    reference's FSQ, fsq.py:66, is dormant in its shipped configs)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from after_tpu.config import AutoEncoderConfig, ae_to_json
+    from after_tpu.models import AudioCodec
+    from after_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = AutoEncoderConfig(pqmf_bands=4, z_channels=8, base_channels=8,
+                            multipliers=(1, 2, 2), factors=(2, 2),
+                            dilations=(1, 3), num_blocks_per_stage=1)
+    codec = AudioCodec(cfg)
+    variables = jax.jit(codec.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 4096, 1)))
+    ckpt = tmp_path / "codec_ckpt"
+    save_checkpoint(str(ckpt), 0, {"codec_vars": variables},
+                    config_json=ae_to_json(cfg))
+
+    out = tmp_path / "runs"
+    rc = cli_main([
+        "train", "--name", "m", "--db_path", str(z_store),
+        "--out_path", str(out), "--config", "tiny", "--batch_size", "2",
+        "--emb_model_path", str(ckpt), *MICRO_OVERRIDES,
+        "--override", "encoder_time.quantizer_levels=[5,5,5,5,5,5,5,5,5,5,5,5]",
+        "--override", "train.steps_valid=2",
+        "--override", "train.timbre_warmup=1",
+        "--max_steps", "2"])
+    assert rc == 0
+    rows = [json.loads(line)
+            for line in open(out / "m" / "metrics.jsonl")]
+    vt = [r for r in rows if "val_transfer_margin_audio" in r]
+    assert vt and np.isfinite(vt[-1]["val_transfer_margin_audio"])
+    assert any("val_transfer_margin" in r for r in rows)
+
+
 @pytest.mark.slow
 def test_prepare_augment_then_train_consumes_z_aug(corpus, tmp_path, capsys):
     """e2e: prepare_dataset --augmentations writes z_aug_* latents and the
