@@ -169,14 +169,37 @@ def main():
              "one instrument). Diagnosed from the D1 panel: transfers kept "
              "source timbre (cos_to_source up to 0.98) despite full "
              "classifier pressure.")
-    L.append("- **Resolution:** round 5 final run = corrected schedule + "
-             "confound-free corpus (`scale_run.synth_corpus` "
-             "shared_melodies: each melody in a pool of n_files/4 tunes is "
-             "rendered by ALL FOUR instrument families, so melody no "
-             "longer predicts timbre), plus the `val_transfer_margin` "
-             "validation metric so conditioning regressions surface "
-             "mid-run, plus the gate-metric ground-truth control (section "
-             "above). The gate table in this document is from that run.")
+    L.append("- **Round 5 run D2, G5 STILL FAILED (1/12 pairs, mean margin "
+             "-0.35)** — corrected schedule + confound-free corpus "
+             "(`scale_run.synth_corpus` shared_melodies: each melody in a "
+             "pool of n_files/4 tunes is rendered by ALL FOUR instrument "
+             "families) was still not sufficient. Committed log: "
+             "`runs/scale/gates_d2.log`. The metric itself was proven "
+             "valid the same day (`runs/scale/gate_control.json`, section "
+             "above), so this is a genuine training defect.")
+    L.append("- **Third (mechanistic) root cause — measured, not "
+             "theorized** (`runs/scale/transfer_diag.json`): sampling with "
+             "the timbre condition NULLED reproduces the source timbre at "
+             "cos 0.994 — the continuous, full-rate structure codes carry "
+             "the whole timbre; the denoiser can ignore z_sem. The "
+             "classifier reads z_sem out of the structure codes at cos "
+             "0.98 (adversarial_loss 0.022 at 45k) while the encoder only "
+             "feels 0.075x of that pressure back, and the cycle timbre "
+             "loss sat at its mse_margin_0.05 floor (zero gradient). CFG "
+             "guidance can push the LATENTS toward the target (margin "
+             "+0.40 at guidance 6) but the shift does not survive the "
+             "codec decode->re-encode round trip (audio margin -0.41): "
+             "guided latents leave the codec manifold.")
+    L.append("- **Resolution (run D3, the committed recipe):** make the "
+             "adversarial game winnable by the encoder — FSQ-quantize the "
+             "structure codes (`encoder_time.quantizer_levels=[5]*12`, 5 "
+             "levels/channel, straight-through), raise "
+             "`train.adversarial_weight` 0.075->0.4 with the classifier "
+             "updated every step, and replace the floored cycle loss with "
+             "plain mse so its gradient flows; train with the gate-honest "
+             "`val_transfer_margin_audio` probe (decode->re-encode at gate "
+             "guidance) logged every validation so leakage is visible "
+             "mid-run. The gate table in this document is from that run.")
     L.append("")
 
     if edm:

@@ -326,6 +326,19 @@ def main():
         "--override", f"train.cycle_start_step={10000 // div}",
         "--override", f"train.steps_valid={2500 // div}",
         "--override", f"train.steps_save={7500 // div}",
+        # round-5 disentanglement recipe (run D3; diagnosis in
+        # runs/scale/transfer_diag.json): continuous full-rate structure
+        # codes carried the whole timbre (null-timbre sampling reproduced
+        # the source at cos 0.994) — FSQ-quantize them so the adversarial
+        # game is winnable, raise the encoder's share of that game from
+        # 0.075 to 0.4 with the classifier updated every step, and use a
+        # plain-mse cycle loss (mse_margin_0.05 sat at its floor, zero
+        # gradient)
+        "--override", "encoder_time.quantizer_levels="
+                      "[5,5,5,5,5,5,5,5,5,5,5,5]",
+        "--override", "train.adversarial_weight=0.4",
+        "--override", "train.update_classifier_every=1",
+        "--override", "train.cycle_loss_type=mse",
     ] + (["--data_on_device"] if args.data_on_device else [])
     if args.skip_to <= 5:
         dt = run_stage("train_dif_p1",
