@@ -149,6 +149,8 @@ def series(rows, key):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/after_scale")
+    ap.add_argument("--run_name", default="scale_dif",
+                    help="diffusion run dir under WORK/runs to gate")
     ap.add_argument("--mrstft_threshold", type=float, default=4.0)
     ap.add_argument("--nb_steps", type=int, default=20)
     ap.add_argument("--guidance_timbre", type=float, default=2.0)
@@ -163,7 +165,7 @@ def main():
     with open(spath) as f:
         summary = json.load(f)
     codec_dir = os.path.join(work, "runs", "scale_codec")
-    dif_dir = os.path.join(work, "runs", "scale_dif")
+    dif_dir = os.path.join(work, "runs", args.run_name)
     gates = {}
 
     # ---- G1 / G2: codec metrics ---------------------------------------
@@ -210,7 +212,7 @@ def main():
     # seed 7) from the same four synth families at one register
     import numpy as np
 
-    pipe, variables, cfg = load_pipeline(work)
+    pipe, variables, cfg = load_pipeline(work, args.run_name)
     gates["timbre_transfer"] = transfer_panel(
         pipe, variables, cfg, args.nb_steps, args.guidance_timbre,
         wav_dir=work)

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/after_scale")
+    ap.add_argument("--run_name", default="scale_dif")
     ap.add_argument("--guidances", default="1,2,3,4,6")
     ap.add_argument("--nb_steps", type=int, default=20)
     ap.add_argument("--out", default=None)
@@ -49,7 +50,7 @@ def main():
     from scale_gates import load_pipeline
     from scale_run import synth_tone
 
-    pipe, variables, cfg = load_pipeline(args.work)
+    pipe, variables, cfg = load_pipeline(args.work, args.run_name)
 
     n = 4 * cfg.autoencoder.ratio * 32
     panel_rng = np.random.RandomState(12345)
