@@ -33,10 +33,11 @@ def train_edm(work, steps, log_dir):
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, ".jax_cache"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    # SAME recipe as scale_run.py's rectified-flow stages (incl. the
-    # corrected anti-leak schedule: fast adversarial ramp + timbre encoder
-    # frozen at the end of phase 1) with only --model edm differing, so the
+    # SAME recipe as scale_run.py's rectified-flow stages (imported, so the
+    # two scripts can never drift: anti-leak schedule + the round-5
+    # disentanglement recipe) with only --model edm differing — the
     # comparison isolates the diffusion objective
+    from scale_run import recipe_overrides
     argv = [
         "train", "--name", "scale_edm", "--db_path",
         os.path.join(work, "db"), "--emb_model_path",
@@ -46,10 +47,7 @@ def train_edm(work, steps, log_dir):
         "--batch_size", "64", "--rng_impl", "rbg",
         "--compute_dtype", "bfloat16", "--augmentation_keys", "all",
         "--data_on_device",
-        "--override", "train.timbre_warmup=6000",
-        "--override", "train.adversarial_warmup=3000",
-        "--override", "train.stop_training_encoder_step=6000",
-        "--override", "train.cycle_start_step=10000",
+    ] + recipe_overrides() + [
         "--override", f"train.steps_valid={steps // 6}",
         "--override", f"train.steps_save={steps // 2}",
         "--max_steps", str(steps),

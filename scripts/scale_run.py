@@ -165,6 +165,45 @@ def copy_evidence(work, dest=None):
 
 
 # ---------------------------------------------------------------------------
+# the training recipe (shared with scripts/edm_compare.py so the EDM
+# comparison differs from the rectified-flow run ONLY in --model)
+# ---------------------------------------------------------------------------
+
+
+def recipe_overrides(div: int = 1):
+    """The scale run's diffusion-training overrides at budget 1/div.
+
+    Two groups, both required for a passing transfer gate (failure history
+    in SCALE_RUN.md / runs/scale/README.md):
+
+    - the anti-leak schedule scaled to this budget: the reference's
+      base.gin values (adversarial_warmup=60000,
+      stop_training_encoder_step=PHASE_1_STEP) target a 1M-step run —
+      kept unscaled, the classifier pressure never reaches full weight,
+      the timbre encoder never freezes, and structure codes leak timbre
+      (measured on run r4: transfer output cos_to_source 0.95+);
+    - the round-5 disentanglement recipe (run D3; diagnosis in
+      runs/scale/transfer_diag.json): continuous full-rate structure codes
+      carried the whole timbre (null-timbre sampling reproduced the source
+      at cos 0.994) — FSQ-quantize them so the adversarial game is
+      winnable, raise the encoder's share of that game from 0.075 to 0.4
+      with the classifier updated every step, and use a plain-mse cycle
+      loss (mse_margin_0.05 sat at its floor, zero gradient).
+    """
+    return [
+        "--override", f"train.timbre_warmup={6000 // div}",
+        "--override", f"train.adversarial_warmup={3000 // div}",
+        "--override", f"train.stop_training_encoder_step={6000 // div}",
+        "--override", f"train.cycle_start_step={10000 // div}",
+        "--override", "encoder_time.quantizer_levels="
+                      "[5,5,5,5,5,5,5,5,5,5,5,5]",
+        "--override", "train.adversarial_weight=0.4",
+        "--override", "train.update_classifier_every=1",
+        "--override", "train.cycle_loss_type=mse",
+    ]
+
+
+# ---------------------------------------------------------------------------
 # stage runner
 # ---------------------------------------------------------------------------
 
@@ -314,31 +353,9 @@ def main():
         "--out_path", runs, "--config", "base", "--config", "cycle",
         "--batch_size", "64", "--rng_impl", "rbg",
         "--compute_dtype", "bfloat16", "--augmentation_keys", "all",
-        "--override", f"train.timbre_warmup={6000 // div}",
-        # scale the WHOLE adversarial schedule to this run's budget: the
-        # reference's base.gin values (adversarial_warmup=60000,
-        # stop_training_encoder_step=PHASE_1_STEP) target a 1M-step run —
-        # kept unscaled, the anti-leak classifier pressure never reaches
-        # full weight and the timbre encoder never freezes, and structure
-        # codes leak timbre (measured: transfer output cos_to_source 0.95+)
-        "--override", f"train.adversarial_warmup={3000 // div}",
-        "--override", f"train.stop_training_encoder_step={6000 // div}",
-        "--override", f"train.cycle_start_step={10000 // div}",
+    ] + recipe_overrides(div) + [
         "--override", f"train.steps_valid={2500 // div}",
         "--override", f"train.steps_save={7500 // div}",
-        # round-5 disentanglement recipe (run D3; diagnosis in
-        # runs/scale/transfer_diag.json): continuous full-rate structure
-        # codes carried the whole timbre (null-timbre sampling reproduced
-        # the source at cos 0.994) — FSQ-quantize them so the adversarial
-        # game is winnable, raise the encoder's share of that game from
-        # 0.075 to 0.4 with the classifier updated every step, and use a
-        # plain-mse cycle loss (mse_margin_0.05 sat at its floor, zero
-        # gradient)
-        "--override", "encoder_time.quantizer_levels="
-                      "[5,5,5,5,5,5,5,5,5,5,5,5]",
-        "--override", "train.adversarial_weight=0.4",
-        "--override", "train.update_classifier_every=1",
-        "--override", "train.cycle_loss_type=mse",
     ] + (["--data_on_device"] if args.data_on_device else [])
     if args.skip_to <= 5:
         dt = run_stage("train_dif_p1",
