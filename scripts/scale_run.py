@@ -182,21 +182,30 @@ def recipe_overrides(div: int = 1):
       kept unscaled, the classifier pressure never reaches full weight,
       the timbre encoder never freezes, and structure codes leak timbre
       (measured on run r4: transfer output cos_to_source 0.95+);
-    - the round-5 disentanglement recipe (run D3; diagnosis in
-      runs/scale/transfer_diag.json): continuous full-rate structure codes
-      carried the whole timbre (null-timbre sampling reproduced the source
-      at cos 0.994) — FSQ-quantize them so the adversarial game is
+    - the round-5 disentanglement recipe (runs D3+D4; diagnosis in
+      runs/scale/transfer_diag_d3.json): continuous full-rate structure
+      codes carried the whole timbre (null-timbre sampling reproduced the
+      source at cos 0.994) — FSQ-quantize them so the adversarial game is
       winnable, raise the encoder's share of that game from 0.075 to 0.4
       with the classifier updated every step, and use a plain-mse cycle
-      loss (mse_margin_0.05 sat at its floor, zero gradient).
+      loss (mse_margin_0.05 sat at its floor, zero gradient).  D3's 12-dim
+      FSQ (~28 bits/frame) still leaked (null-timbre cos 0.973, gate 4/12)
+      — adversarial pressure only removes classifier-ACCESSIBLE
+      information, so D4 applies the information-theoretic fix instead: a
+      hard capacity cap of 4 FSQ dims x 5 levels (~9.3 bits/frame), enough
+      for melody/rhythm but not for the source's spectral envelope.
+      zs_channels must shrink 12->4 end-to-end (encoder_time output width,
+      classifier input, denoiser conditioning pad).
     """
     return [
         "--override", f"train.timbre_warmup={6000 // div}",
         "--override", f"train.adversarial_warmup={3000 // div}",
         "--override", f"train.stop_training_encoder_step={6000 // div}",
         "--override", f"train.cycle_start_step={10000 // div}",
-        "--override", "encoder_time.quantizer_levels="
-                      "[5,5,5,5,5,5,5,5,5,5,5,5]",
+        "--override", "zs_channels=4",
+        "--override", "encoder_time.channels=[64,128,256,512,4]",
+        "--override", "encoder_time.quantizer_levels=[5,5,5,5]",
+        "--override", "classifier.in_size=4",
         "--override", "train.adversarial_weight=0.4",
         "--override", "train.update_classifier_every=1",
         "--override", "train.cycle_loss_type=mse",
