@@ -190,16 +190,30 @@ def main():
              "+0.40 at guidance 6) but the shift does not survive the "
              "codec decode->re-encode round trip (audio margin -0.41): "
              "guided latents leave the codec manifold.")
-    L.append("- **Resolution (run D3, the committed recipe):** make the "
-             "adversarial game winnable by the encoder — FSQ-quantize the "
-             "structure codes (`encoder_time.quantizer_levels=[5]*12`, 5 "
-             "levels/channel, straight-through), raise "
-             "`train.adversarial_weight` 0.075->0.4 with the classifier "
-             "updated every step, and replace the floored cycle loss with "
-             "plain mse so its gradient flows; train with the gate-honest "
-             "`val_transfer_margin_audio` probe (decode->re-encode at gate "
-             "guidance) logged every validation so leakage is visible "
-             "mid-run. The gate table in this document is from that run.")
+    L.append("- **Round 5 run D3, G5 STILL FAILED (4/12 pairs, mean margin "
+             "-0.026)** — FSQ-quantized structure codes "
+             "(`quantizer_levels=[5]*12`), `train.adversarial_weight` "
+             "0.075->0.4 with the classifier updated every step, and a "
+             "plain-mse cycle loss narrowed the margin from -0.35 to "
+             "nearly zero but did not flip it. Committed log: "
+             "`runs/scale/gates_d3.log`; diagnosis "
+             "`runs/scale/transfer_diag_d3.json`: the latent-space margin "
+             "scales with guidance (+0.62, 10/12 at g=6) yet the audio "
+             "margin collapses after the codec decode->re-encode round "
+             "trip, and null-timbre sampling still reproduces the source "
+             "at cos 0.973 — 12 FSQ dims (~28 bits/frame) leave structure "
+             "codes room to carry the timbre, and adversarial pressure "
+             "only removes classifier-ACCESSIBLE information, not "
+             "information a deep denoiser can still decode.")
+    L.append("- **Resolution (run D4, the committed recipe):** everything "
+             "D3 had PLUS the information-theoretic fix — a hard capacity "
+             "cap on the structure channel: 4 FSQ dims x 5 levels (~9.3 "
+             "bits/frame, `zs_channels` 12->4 end-to-end through the "
+             "structure encoder, adversarial classifier, and denoiser "
+             "conditioning). Melody and rhythm fit in ~9 bits/frame; the "
+             "source's spectral envelope cannot, so the denoiser is FORCED "
+             "to take timbre from z_sem. The gate table in this document "
+             "is from that run.")
     L.append("")
 
     if edm:
